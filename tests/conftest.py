@@ -1,0 +1,40 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU platform *before* jax is imported, so
+sharding/collective code paths (pjit / shard_map over a Mesh) are exercised
+without TPU hardware, per SURVEY.md §4.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+REFERENCE_DATA = "/root/reference/data"
+GOLDEN_NPZ = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "golden", "reference_ground_indices.npz")
+SCAN_NAMES = [f"{i:06d}" for i in range(6)]
+
+
+def load_scan(name: str) -> np.ndarray:
+    """KITTI velodyne .bin: float32 (N, 4) = x, y, z, intensity."""
+    path = os.path.join(REFERENCE_DATA, f"{name}.bin")
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+@pytest.fixture(scope="session")
+def golden():
+    return np.load(GOLDEN_NPZ)
+
+
+@pytest.fixture(scope="session")
+def scans():
+    return {name: load_scan(name) for name in SCAN_NAMES}
