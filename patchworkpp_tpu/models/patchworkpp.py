@@ -1,0 +1,132 @@
+"""Flagship model: stateful Patchwork++ engine over the jitted frame step.
+
+NumPy in / NumPy out, hiding padding, platform placement, and the functional
+adaptive state. Capability parity with the reference's ``PatchWorkpp`` class
+(reference: cpp/patchworkpp/include/patchwork/patchworkpp.h:114-235) plus
+genuine additions: checkpointable state, batched multi-stream estimation, and
+device-resident operation for streaming.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patchworkpp_tpu.params import CZMGeometry, Params
+from patchworkpp_tpu.pipeline import FrameResult, make_frame_fn
+from patchworkpp_tpu.state import AdaptiveState, init_state
+
+
+class SegmentationResult(NamedTuple):
+    """Per-frame result trimmed to the real point count, original row order."""
+
+    ground_mask: np.ndarray       # (N,) bool
+    ground_indices: np.ndarray    # (G,) int32, ascending
+    nonground_indices: np.ndarray # (N-G,) int32, ascending
+    centers: np.ndarray           # (K, 3) per-processed-patch plane centroids
+    normals: np.ndarray           # (K, 3) per-processed-patch plane normals
+    time_taken_s: float           # host wall time of the frame step
+
+
+def _round_capacity(n: int, quantum: int = 8192) -> int:
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+class PatchworkPP:
+    """Stateful convenience wrapper (one LiDAR stream).
+
+    Functional core: ``estimate_ground`` feeds the jitted frame step and
+    threads :class:`AdaptiveState` through; ``reset``/``save_state``/
+    ``load_state`` expose the state explicitly (a capability the in-memory
+    reference lacks).
+    """
+
+    def __init__(
+        self,
+        params: Optional[Params] = None,
+        capacity: Optional[int] = None,
+        device: Optional[jax.Device] = None,
+    ) -> None:
+        self.params = params or Params()
+        self.geom = CZMGeometry.create(self.params)
+        self._fns = {}  # (enable_rnr, capacity) -> jitted frame fn
+        self._fixed_capacity = capacity
+        self._device = device
+        self.state = init_state(self.params)
+        self.last_result: Optional[FrameResult] = None
+
+    # ------------------------------------------------------------------ state
+
+    def reset(self) -> None:
+        self.state = init_state(self.params)
+
+    def save_state(self, path: str) -> None:
+        self.state.save(path)
+
+    def load_state(self, path: str) -> None:
+        self.state = AdaptiveState.load(path)
+
+    @property
+    def sensor_height(self) -> float:
+        """Adapted sensor height (reference getHeight(), patchworkpp.h:154)."""
+        return float(self.state.sensor_height)
+
+    # ------------------------------------------------------------------ run
+
+    def _get_fn(self, enable_rnr: bool, capacity: int):
+        key = (enable_rnr, capacity)
+        fn = self._fns.get(key)
+        if fn is None:
+            p = self.params if enable_rnr == self.params.enable_RNR else (
+                self.params.replace(enable_RNR=enable_rnr)
+            )
+            fn = jax.jit(make_frame_fn(p, self.geom))
+            self._fns[key] = fn
+        return fn
+
+    def estimate_ground(self, cloud: np.ndarray) -> SegmentationResult:
+        """Segment one scan. ``cloud`` is (N, 3) or (N, 4) float32.
+
+        RNR requires intensity; with a 3-column cloud it is disabled, exactly
+        as the reference refuses RNR without 4 columns (patchworkpp.cpp:379).
+        """
+        cloud = np.asarray(cloud, np.float32)
+        if cloud.ndim != 2 or cloud.shape[1] not in (3, 4):
+            raise ValueError(f"cloud must be (N,3) or (N,4); got {cloud.shape}")
+        n = cloud.shape[0]
+        enable_rnr = self.params.enable_RNR and cloud.shape[1] >= 4
+
+        cap = self._fixed_capacity or _round_capacity(n)
+        if n > cap:
+            raise ValueError(f"scan has {n} points > fixed capacity {cap}")
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:n, : cloud.shape[1]] = cloud
+
+        fn = self._get_fn(enable_rnr, cap)
+        x = jnp.asarray(padded)
+        if self._device is not None:
+            x = jax.device_put(x, self._device)
+        t0 = time.perf_counter()
+        new_state, res = fn(self.state, x, jnp.int32(n))
+        res.ground_mask.block_until_ready()
+        dt = time.perf_counter() - t0
+
+        self.state = new_state
+        self.last_result = res
+
+        mask = np.asarray(res.ground_mask)[:n]
+        gi = np.flatnonzero(mask).astype(np.int32)
+        ngi = np.flatnonzero(~mask).astype(np.int32)
+        proc = np.asarray(res.patch_processed)
+        return SegmentationResult(
+            ground_mask=mask,
+            ground_indices=gi,
+            nonground_indices=ngi,
+            centers=np.asarray(res.patch_mean)[proc],
+            normals=np.asarray(res.patch_normal)[proc],
+            time_taken_s=dt,
+        )
