@@ -1,0 +1,19 @@
+"""Data layer: KITTI/SemanticKITTI readers, padding, and evaluation."""
+
+from patchworkpp_tpu.io.kitti import (
+    read_bin,
+    read_labels,
+    pad_cloud,
+    ScanDataset,
+    GROUND_LABELS,
+    evaluate_masks,
+)
+
+__all__ = [
+    "read_bin",
+    "read_labels",
+    "pad_cloud",
+    "ScanDataset",
+    "GROUND_LABELS",
+    "evaluate_masks",
+]

@@ -1,0 +1,99 @@
+"""Point-sharded single-frame execution (the sequence-parallel analog).
+
+The points of one scan are split in contiguous blocks across the mesh axis;
+each device bins and sorts only its rows. Per-patch sufficient statistics —
+bin counts, the <=num_lpr lowest seed candidates, plane-fit moments, final
+ground counts — are the *only* cross-device state, combined with `psum` /
+`all_gather` over ICI (a few hundred KB per frame at 504 patches). The patch
+space and adaptive state stay replicated, so A-GLE/TGR/threshold updates are
+computed identically everywhere, and the result mask comes back sharded
+exactly like the input points.
+
+This is the scaling path for dense scans (128-beam, ~250k pts) — the
+reference, being a single-thread C++ loop, has no counterpart (SURVEY.md §2
+parallelism checklist).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from patchworkpp_tpu.params import CZMGeometry, Params
+from patchworkpp_tpu.pipeline import FrameComm, FrameResult, make_frame_fn
+from patchworkpp_tpu.ops.segments import SortedPoints, segment_rank, segment_sum_sorted
+from patchworkpp_tpu.state import AdaptiveState
+
+
+class MeshComm(FrameComm):
+    """FrameComm over a named mesh axis (used inside shard_map)."""
+
+    def __init__(self, axis: str):
+        self.axis = axis
+
+    def row_offset(self, n_local: int) -> jnp.ndarray:
+        return (jax.lax.axis_index(self.axis) * n_local).astype(jnp.int32)
+
+    def reduce_patches(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.psum(x, self.axis)
+
+    def lpr_stats(self, sp: SortedPoints, elig, num_lpr: int, num_segments: int):
+        # 1. Each shard extracts its local num_lpr lowest eligible z per patch
+        #    into a dense (num_segments, num_lpr) table (+inf padded).
+        rank = segment_rank(elig, sp)
+        take = elig & (rank < num_lpr)
+        dump = num_segments * num_lpr
+        slot = jnp.where(take, sp.patch_id * num_lpr + rank, dump)
+        dense = (
+            jnp.full(dump + 1, jnp.inf, jnp.float32)
+            .at[slot]
+            .set(jnp.where(take, sp.z, jnp.inf))
+        )[:dump].reshape(num_segments, num_lpr)
+
+        # 2. Gather all shards' candidates and keep the global lowest num_lpr.
+        allv = jax.lax.all_gather(dense, self.axis, axis=1, tiled=True)
+        merged = jax.lax.sort(allv, dimension=1)[:, :num_lpr]
+
+        # 3. Mean over min(num_lpr, global eligible count), ascending order —
+        #    the same summation order as the single-device path.
+        cnt = jax.lax.psum(
+            segment_sum_sorted(elig.astype(jnp.float32), sp, num_segments), self.axis
+        )
+        k = jnp.minimum(cnt, float(num_lpr))
+        take_k = (
+            jax.lax.broadcasted_iota(jnp.float32, merged.shape, 1) < k[:, None]
+        )
+        s = jnp.sum(jnp.where(take_k, merged, 0.0), axis=1)
+        return s, k
+
+
+def build(params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = False):
+    """Jitted point-sharded frame step over ``mesh[axis]``.
+
+    Returns ``fn(state, points, npts) -> (state, FrameResult)`` where
+    ``points`` (P, 4) is sharded along rows over ``axis`` (P divisible by the
+    axis size), state is replicated, and the result mask is row-sharded.
+    """
+    geom = CZMGeometry.create(params)
+    frame = make_frame_fn(params, geom, comm=MeshComm(axis))
+
+    state_spec = jax.tree.map(lambda _: P(), AdaptiveState(*[0] * 7))
+    result_spec = FrameResult(
+        ground_mask=P(axis),
+        num_ground=P(),
+        patch_mean=P(),
+        patch_normal=P(),
+        patch_svals=P(),
+        patch_processed=P(),
+    )
+
+    shard_frame = jax.shard_map(
+        frame,
+        mesh=mesh,
+        in_specs=(state_spec, P(axis), P()),
+        out_specs=(state_spec, result_spec),
+        check_vma=False,
+    )
+    donate = (0,) if donate_state else ()
+    return jax.jit(shard_frame, donate_argnums=donate)

@@ -122,6 +122,7 @@ def _fit_planes(
     patch_gate: jnp.ndarray,
     shift: jnp.ndarray,
     num_segments: int,
+    comm: "FrameComm",
 ) -> _PlaneCarry:
     """Batched masked PCA plane fit with carry (reference estimate_plane :47-75).
 
@@ -129,7 +130,7 @@ def _fit_planes(
     patches whose masked point count is zero keep their previous plane.
     """
     mask = mask & patch_gate[sp.patch_id]
-    mom = masked_patch_moments(q, mask, sp.patch_id, num_segments)
+    mom = comm.reduce_patches(masked_patch_moments(q, mask, sp.patch_id, num_segments))
     n, mean, cov = moments_to_mean_cov(mom, shift)
     svals, normal = eigh3x3_descending(cov)
     d = -jnp.sum(normal * mean, axis=-1)
@@ -151,6 +152,34 @@ def _point_plane_dist(carry: _PlaneCarry, sp: SortedPoints) -> jnp.ndarray:
     return jnp.sum(sp.xyz * nrm, axis=-1) + d
 
 
+class FrameComm:
+    """Cross-shard communication hooks for the frame step.
+
+    The default (this class) is the single-device identity. The point-sharded
+    SPMD path (parallel/point_sharded.py) overrides these with psums /
+    all-gathers over the mesh axis: per-patch statistics are the *only*
+    cross-shard state, a few hundred KB per frame over ICI.
+    """
+
+    def row_offset(self, n_local: int) -> jnp.ndarray:
+        """Global row index of this shard's first point."""
+        return jnp.int32(0)
+
+    def reduce_patches(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Sum a per-patch statistic across shards."""
+        return x
+
+    def lpr_stats(
+        self, sp: SortedPoints, elig: jnp.ndarray, num_lpr: int, num_segments: int
+    ):
+        """(sum, count) of each patch's num_lpr globally-lowest eligible z."""
+        rank = segment_rank(elig, sp)
+        take = elig & (rank < num_lpr)
+        tf = take.astype(jnp.float32)
+        sums = segment_sum_sorted(jnp.stack([sp.z * tf, tf], axis=1), sp, num_segments)
+        return sums[:, 0], sums[:, 1]
+
+
 def _seed_mask(
     sp: SortedPoints,
     active: jnp.ndarray,
@@ -159,6 +188,7 @@ def _seed_mask(
     th_seed: float,
     params: Params,
     num_segments: int,
+    comm: FrameComm,
 ) -> jnp.ndarray:
     """Initial-seed selection over the active set (reference :77-149).
 
@@ -168,12 +198,8 @@ def _seed_mask(
     """
     margin_thr = jnp.float32(params.adaptive_seed_selection_margin) * sensor_height
     elig = active & (~zone0_pt | (sp.z >= margin_thr))
-    rank = segment_rank(elig, sp)
-    take = elig & (rank < params.num_lpr)
-    tf = take.astype(jnp.float32)
-    sums = segment_sum_sorted(jnp.stack([sp.z * tf, tf], axis=1), sp, num_segments)
-    lpr_cnt = sums[:, 1]
-    lpr = jnp.where(lpr_cnt > 0, sums[:, 0] / jnp.maximum(lpr_cnt, 1.0), 0.0)
+    lpr_sum, lpr_cnt = comm.lpr_stats(sp, elig, params.num_lpr, num_segments)
+    lpr = jnp.where(lpr_cnt > 0, lpr_sum / jnp.maximum(lpr_cnt, 1.0), 0.0)
     return active & (sp.z < lpr[sp.patch_id] + jnp.float32(th_seed))
 
 
@@ -188,14 +214,21 @@ def _masked_mean_stdev(vals: jnp.ndarray, mask: jnp.ndarray):
     return jnp.where(ok, mean, 0.0), jnp.where(ok, jnp.sqrt(var), 0.0), n
 
 
-def make_frame_fn(params: Params, geom: CZMGeometry | None = None):
+def make_frame_fn(
+    params: Params,
+    geom: CZMGeometry | None = None,
+    comm: FrameComm | None = None,
+):
     """Build the pure frame step ``fn(state, points, npts) -> (state, FrameResult)``.
 
     ``points`` is (P, 4) float32 (padded), ``npts`` () int32. The returned
-    function is jit-compatible and shape-polymorphic only in P.
+    function is jit-compatible and shape-polymorphic only in P. With a
+    mesh-aware ``comm`` it runs as the per-shard body of a point-sharded
+    shard_map (points = this shard's rows, npts = global count).
     """
     p = params
     geom = geom or CZMGeometry.create(p)
+    comm = comm or FrameComm()
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
     nseg = npz + 1
@@ -206,14 +239,14 @@ def make_frame_fn(params: Params, geom: CZMGeometry | None = None):
 
     def frame(state: AdaptiveState, points: jnp.ndarray, npts: jnp.ndarray):
         points = points.astype(jnp.float32)
-        npts = jnp.asarray(npts, jnp.int32)
+        npts = jnp.asarray(npts, jnp.int32) - comm.row_offset(points.shape[0])
 
         # ---- per-point: RNR + CZM (C3, C4) ----
         bins = bin_points(points, npts, state.sensor_height, p, geom)
 
         # ---- global (patch, z) sort (C5) ----
         sp = sort_by_patch(points[:, :3], bins.patch_id, npz)
-        counts = sp.start[1:nseg + 1] - sp.start[:nseg]
+        counts = comm.reduce_patches(sp.start[1:nseg + 1] - sp.start[:nseg])
         processed = (counts >= p.num_min_pts) & (
             jnp.arange(nseg, dtype=jnp.int32) < npz
         )
@@ -238,9 +271,10 @@ def make_frame_fn(params: Params, geom: CZMGeometry | None = None):
             alive = processed
             for _ in range(p.num_iter):
                 seeds = _seed_mask(
-                    sp, active, zone0_pt, state.sensor_height, p.th_seeds_v, p, nseg
+                    sp, active, zone0_pt, state.sensor_height, p.th_seeds_v,
+                    p, nseg, comm,
                 )
-                carry = _fit_planes(carry, sp, q, seeds, alive, shift_tab, nseg)
+                carry = _fit_planes(carry, sp, q, seeds, alive, shift_tab, nseg, comm)
                 vert = (
                     alive
                     & (zone_tab == 0)
@@ -253,15 +287,17 @@ def make_frame_fn(params: Params, geom: CZMGeometry | None = None):
 
         # ---- R-GPF: iterative ground plane refinement (C9, reference :510-543).
         seeds = _seed_mask(
-            sp, active, zone0_pt, state.sensor_height, p.th_seeds, p, nseg
+            sp, active, zone0_pt, state.sensor_height, p.th_seeds, p, nseg, comm
         )
-        carry = _fit_planes(carry, sp, q, seeds, processed, shift_tab, nseg)
+        carry = _fit_planes(carry, sp, q, seeds, processed, shift_tab, nseg, comm)
         g = jnp.zeros_like(active)
         for _ in range(p.num_iter):
             dist = _point_plane_dist(carry, sp)
             g = active & (dist < jnp.float32(p.th_dist))  # signed test (:525)
-            carry = _fit_planes(carry, sp, q, g, processed, shift_tab, nseg)
-        g_count = segment_sum_sorted(g.astype(jnp.float32), sp, nseg)
+            carry = _fit_planes(carry, sp, q, g, processed, shift_tab, nseg, comm)
+        g_count = comm.reduce_patches(
+            segment_sum_sorted(g.astype(jnp.float32), sp, nseg)
+        )
 
         # ---- A-GLE cascade (C10, reference :214-288) ----
         uprightness = carry.normal[:, 2]
@@ -343,7 +379,7 @@ def make_frame_fn(params: Params, geom: CZMGeometry | None = None):
         )
         result = FrameResult(
             ground_mask=ground,
-            num_ground=jnp.sum(ground).astype(jnp.int32),
+            num_ground=comm.reduce_patches(jnp.sum(ground).astype(jnp.int32)),
             patch_mean=carry.mean[:npz],
             patch_normal=carry.normal[:npz],
             patch_svals=carry.svals[:npz],

@@ -1,0 +1,102 @@
+"""Optional ROS 2 adapter for :class:`GroundSegmentationServer`.
+
+Capability parity with the reference node (reference:
+ros/src/GroundSegmentationServer.cpp): subscribes ``pointcloud_topic``,
+republishes ``/patchworkpp/cloud``, ``/patchworkpp/ground`` and
+``/patchworkpp/nonground``. Only importable when rclpy + sensor_msgs are
+installed (they are not part of this image; the transport-agnostic server in
+serve/server.py is the supported surface here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from patchworkpp_tpu.params import Params
+from patchworkpp_tpu.serve.server import CloudMsg, GroundSegmentationServer
+
+try:  # pragma: no cover - exercised only with a ROS 2 install
+    import rclpy
+    from rclpy.node import Node
+    from sensor_msgs.msg import PointCloud2
+    from sensor_msgs_py import point_cloud2
+
+    HAVE_ROS2 = True
+except Exception:  # pragma: no cover
+    HAVE_ROS2 = False
+
+
+if HAVE_ROS2:  # pragma: no cover
+
+    class PatchworkppNode(Node):
+        """rclpy node mirroring the reference server's topics and params."""
+
+        def __init__(self) -> None:
+            super().__init__("patchworkpp_node")
+            params = Params(
+                enable_RNR=False,  # PointCloud2 intensity not wired (as reference)
+                sensor_height=self.declare_parameter("sensor_height", 1.723).value,
+                num_iter=self.declare_parameter("num_iter", 3).value,
+                num_lpr=self.declare_parameter("num_lpr", 20).value,
+                num_min_pts=self.declare_parameter("num_min_pts", 10).value,
+                th_seeds=self.declare_parameter("th_seeds", 0.125).value,
+                th_dist=self.declare_parameter("th_dist", 0.125).value,
+                th_seeds_v=self.declare_parameter("th_seeds_v", 0.25).value,
+                th_dist_v=self.declare_parameter("th_dist_v", 0.1).value,
+                max_range=self.declare_parameter("max_range", 80.0).value,
+                min_range=self.declare_parameter("min_range", 2.7).value,
+                uprightness_thr=self.declare_parameter("uprightness_thr", 0.707).value,
+            )
+            self.base_frame = self.declare_parameter("base_frame", "base_link").value
+            self.server = GroundSegmentationServer(params)
+            self.server.on_result(self._publish)
+            self.server.start()
+
+            self.sub = self.create_subscription(
+                PointCloud2, "pointcloud_topic", self._on_cloud, 10
+            )
+            self.pub_cloud = self.create_publisher(PointCloud2, "/patchworkpp/cloud", 10)
+            self.pub_ground = self.create_publisher(PointCloud2, "/patchworkpp/ground", 10)
+            self.pub_nonground = self.create_publisher(
+                PointCloud2, "/patchworkpp/nonground", 10
+            )
+
+        def _on_cloud(self, msg: PointCloud2) -> None:
+            pts = point_cloud2.read_points_numpy(
+                msg, field_names=("x", "y", "z"), skip_nans=True
+            ).astype(np.float32)
+            stamp = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
+            self.server.publish(CloudMsg(points=pts, stamp=stamp, frame_id=self.base_frame))
+            self.pub_cloud.publish(msg)
+
+        def _publish(self, out) -> None:
+            pts = out.msg.points[:, :3]
+            header_frame = self.base_frame
+            g = point_cloud2.create_cloud_xyz32(
+                self._mk_header(out.msg.stamp, header_frame),
+                pts[out.result.ground_indices],
+            )
+            ng = point_cloud2.create_cloud_xyz32(
+                self._mk_header(out.msg.stamp, header_frame),
+                pts[out.result.nonground_indices],
+            )
+            self.pub_ground.publish(g)
+            self.pub_nonground.publish(ng)
+
+        def _mk_header(self, stamp: float, frame: str):
+            from std_msgs.msg import Header
+            from builtin_interfaces.msg import Time
+
+            h = Header()
+            h.frame_id = frame
+            h.stamp = Time(sec=int(stamp), nanosec=int((stamp % 1) * 1e9))
+            return h
+
+    def main() -> None:
+        rclpy.init()
+        node = PatchworkppNode()
+        try:
+            rclpy.spin(node)
+        finally:
+            node.server.stop()
+            rclpy.shutdown()

@@ -8,10 +8,17 @@ without TPU hardware, per SURVEY.md §4.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: in this sandbox a sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon (tunneled TPU), so env vars alone are too late; the
+# config update below wins as long as no devices have been queried yet.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,98 @@
+"""JAX pipeline parity: exact agreement with the golden-exact oracle.
+
+Fast tests run on subsampled scans (smaller static capacity keeps CPU compile
+time reasonable); the full-resolution golden test is marked slow and is run
+explicitly. Full-size parity against the C++ golden sets was verified to be
+exact (0 mismatches, fresh and sequential) — see git history / BENCH notes.
+"""
+
+import numpy as np
+import pytest
+
+from patchworkpp_tpu import Params, init_state
+from patchworkpp_tpu.models import PatchworkPP
+from patchworkpp_tpu.oracle import NumpyPatchworkpp
+from tests.conftest import SCAN_NAMES
+
+SUB = 8          # take every 8th point -> ~15.6k points
+CAPACITY = 16384
+
+
+@pytest.fixture(scope="module")
+def model():
+    return PatchworkPP(capacity=CAPACITY)
+
+
+def test_fresh_matches_oracle(model, scans):
+    cloud = scans["000000"][::SUB]
+    res = model.estimate_ground(cloud)
+    model.reset()
+    oracle = NumpyPatchworkpp()
+    ref = oracle.estimate_ground(cloud)
+    np.testing.assert_array_equal(res.ground_mask, ref)
+
+
+def test_sequential_matches_oracle(model, scans):
+    model.reset()
+    oracle = NumpyPatchworkpp()
+    for name in SCAN_NAMES[:3]:
+        cloud = scans[name][::SUB]
+        res = model.estimate_ground(cloud)
+        ref = oracle.estimate_ground(cloud)
+        mism = int((res.ground_mask != ref).sum())
+        assert mism == 0, f"scan {name}: {mism} mismatched labels"
+        assert abs(model.sensor_height - oracle.sensor_height) < 1e-5
+    model.reset()
+
+
+def test_no_intensity_matches_oracle(model, scans):
+    """3-column cloud: RNR disabled on both sides (reference :379-382)."""
+    cloud = scans["000001"][::SUB, :3]
+    res = model.estimate_ground(cloud)
+    model.reset()
+    ref = NumpyPatchworkpp().estimate_ground(cloud)
+    np.testing.assert_array_equal(res.ground_mask, ref)
+
+
+def test_rvpf_tgr_disabled_matches_oracle(scans):
+    p = Params(enable_RVPF=False, enable_TGR=False)
+    cloud = scans["000000"][::SUB]
+    res = PatchworkPP(p, capacity=CAPACITY).estimate_ground(cloud)
+    ref = NumpyPatchworkpp(p).estimate_ground(cloud)
+    np.testing.assert_array_equal(res.ground_mask, ref)
+
+
+def test_state_checkpoint_resume(model, scans, tmp_path):
+    """Segment 2 frames, checkpoint, resume elsewhere: labels must agree."""
+    model.reset()
+    a = scans["000000"][::SUB]
+    b = scans["000001"][::SUB]
+    c = scans["000002"][::SUB]
+    model.estimate_ground(a)
+    model.estimate_ground(b)
+    path = str(tmp_path / "state.npz")
+    model.save_state(path)
+    r1 = model.estimate_ground(c)
+
+    fresh = PatchworkPP(capacity=CAPACITY)
+    fresh.load_state(path)
+    r2 = fresh.estimate_ground(c)
+    np.testing.assert_array_equal(r1.ground_mask, r2.ground_mask)
+    model.reset()
+
+
+def test_point_conservation(model, scans):
+    res = model.estimate_ground(scans["000003"][::SUB])
+    model.reset()
+    n = len(res.ground_mask)
+    assert res.ground_indices.size + res.nonground_indices.size == n
+
+
+@pytest.mark.slow
+def test_full_resolution_golden(scans, golden):
+    """Full 124k-point exact parity vs the compiled C++ reference (slow)."""
+    m = PatchworkPP(capacity=131072)
+    for name in SCAN_NAMES:
+        res = m.estimate_ground(scans[name])
+        ref = np.sort(golden[f"seq_{name}"])
+        np.testing.assert_array_equal(res.ground_indices, ref, err_msg=name)

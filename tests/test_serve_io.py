@@ -1,0 +1,80 @@
+"""Streaming server + IO/eval layer tests."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from patchworkpp_tpu.io import evaluate_masks, pad_cloud, read_bin, ScanDataset
+from patchworkpp_tpu.serve import CloudMsg, GroundSegmentationServer, ServerConfig
+
+SUB = 16
+
+
+def test_read_bin_shape():
+    pts = read_bin("/root/reference/data/000000.bin")
+    assert pts.shape == (124668, 4) and pts.dtype == np.float32
+
+
+def test_scan_dataset():
+    ds = ScanDataset("/root/reference/data")
+    assert len(ds) == 6
+    assert ds.scan(0).shape[1] == 4
+    assert ds.labels(0) is None
+
+
+def test_pad_cloud():
+    pts = np.ones((10, 3), np.float32)
+    padded, n = pad_cloud(pts, 16)
+    assert padded.shape == (16, 4) and n == 10
+    assert (padded[10:] == 0).all()
+    with pytest.raises(ValueError):
+        pad_cloud(np.ones((20, 3), np.float32), 16)
+
+
+def test_evaluate_masks():
+    pred = np.array([1, 1, 0, 0], bool)
+    true = np.array([1, 0, 1, 0], bool)
+    r = evaluate_masks(pred, true)
+    assert r.tp == 1 and r.fp == 1 and r.fn == 1 and r.tn == 1
+    assert r.precision == 0.5 and r.recall == 0.5 and abs(r.f1 - 0.5) < 1e-9
+
+
+def test_server_stream(scans):
+    results = []
+    done = threading.Event()
+    srv = GroundSegmentationServer(config=ServerConfig(capacity=8192))
+
+    def collect(out):
+        results.append(out)
+        if len(results) == 3:
+            done.set()
+
+    srv.on_result(collect)
+    with srv:
+        for name in ["000000", "000001", "000002"]:
+            srv.publish(CloudMsg(points=scans[name][::SUB], stamp=time.time()))
+        assert done.wait(timeout=300), "server did not process 3 frames in time"
+
+    assert srv.frames_processed == 3
+    for out in results:
+        n = len(out.msg.points)
+        r = out.result
+        assert r.ground_indices.size + r.nonground_indices.size == n
+        assert r.ground_indices.size > 0
+    # adaptive state advanced across streamed frames
+    assert srv.sensor_height != 1.723
+
+
+def test_server_sync_process(scans):
+    srv = GroundSegmentationServer(config=ServerConfig(capacity=8192))
+    out = srv.process(CloudMsg(points=scans["000000"][::SUB], stamp=0.0))
+    assert out.result.ground_indices.size > 0
+    assert out.latency_s > 0
+
+
+def test_server_requires_start(scans):
+    srv = GroundSegmentationServer(config=ServerConfig(capacity=8192))
+    with pytest.raises(RuntimeError):
+        srv.publish(CloudMsg(points=scans["000000"][::SUB], stamp=0.0))

@@ -1,0 +1,102 @@
+"""Multi-device sharding tests on a virtual 8-device CPU mesh.
+
+Exercises the same pjit/shard_map/collective code paths a real pod slice
+would use (SURVEY.md §4c): frame data parallelism and point sharding within
+a frame, validated against the single-device pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from patchworkpp_tpu import Params, init_state
+from patchworkpp_tpu.models import PatchworkPP
+from patchworkpp_tpu.parallel import (
+    batch_init_state,
+    make_batch_frame_fn,
+    make_point_sharded_frame_fn,
+)
+
+SUB = 16
+CAPACITY = 8192
+
+
+def _pad(cloud, cap=CAPACITY):
+    out = np.zeros((cap, 4), np.float32)
+    out[: len(cloud)] = cloud
+    return out
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 virtual CPU devices"
+    return Mesh(np.array(devs[:8]), ("d",))
+
+
+@pytest.fixture(scope="module")
+def single_results(scans):
+    m = PatchworkPP(capacity=CAPACITY)
+    out = {}
+    for name in ["000000", "000001"]:
+        out[name] = m.estimate_ground(scans[name][::SUB]).ground_mask
+        m.reset()
+    return out
+
+
+def test_frame_data_parallel(mesh8, scans, single_results):
+    """8 frames sharded over 8 devices; each must match single-device labels."""
+    p = Params()
+    fn = make_batch_frame_fn(p, mesh8, axis="d")
+    names = ["000000", "000001"] * 4
+    clouds = np.stack([_pad(scans[n][::SUB]) for n in names])
+    npts = np.array([len(scans[n][::SUB]) for n in names], np.int32)
+    states = batch_init_state(p, 8)
+    new_states, res = fn(states, jnp.asarray(clouds), jnp.asarray(npts))
+    masks = np.asarray(res.ground_mask)
+    for i, n in enumerate(names):
+        got = masks[i][: npts[i]]
+        np.testing.assert_array_equal(got, single_results[n], err_msg=f"frame {i}")
+    # states adapted independently and identically per stream content
+    sh = np.asarray(new_states.sensor_height)
+    assert np.allclose(sh[0], sh[2]) and np.allclose(sh[1], sh[3])
+
+
+def test_point_sharded_frame(mesh8, scans, single_results):
+    """One frame's points sharded over 8 devices: labels match single-device."""
+    p = Params()
+    fn = make_point_sharded_frame_fn(p, mesh8, axis="d")
+    name = "000000"
+    cloud = scans[name][::SUB]
+    padded = _pad(cloud)
+    state = init_state(p)
+    new_state, res = fn(state, jnp.asarray(padded), jnp.int32(len(cloud)))
+    got = np.asarray(res.ground_mask)[: len(cloud)]
+    ref = single_results[name]
+    mism = int((got != ref).sum())
+    # f32 reduction-order differences across shards may flip borderline
+    # points; demand near-exactness.
+    assert mism <= len(cloud) * 1e-3, f"{mism}/{len(cloud)} labels differ"
+    assert abs(float(new_state.sensor_height) - 1.723) < 0.2
+
+
+def test_point_sharded_state_matches_single(mesh8, scans):
+    """Adaptive state after a sharded frame ~= single-device state."""
+    p = Params()
+    fn = make_point_sharded_frame_fn(p, mesh8, axis="d")
+    cloud = scans["000001"][::SUB]
+    state = init_state(p)
+    new_state, _ = fn(state, jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
+
+    m = PatchworkPP(capacity=CAPACITY)
+    m.estimate_ground(cloud)
+    np.testing.assert_allclose(
+        float(new_state.sensor_height), m.sensor_height, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.elevation_thr),
+        np.asarray(m.state.elevation_thr),
+        atol=1e-4,
+    )
