@@ -5,6 +5,9 @@ per-patch ``std::sort`` calls (reference: cpp/patchworkpp/src/patchworkpp.cpp:19
 After it, each patch occupies a contiguous ascending-z run, and every
 "sorted per-patch" operation (LPR rank, seed selection under changing active
 sets) becomes a segmented cumulative sum — no gathers into ragged storage.
+
+All patch-indexed broadcasts go through the one-hot MXU path (ops/onehot.py);
+the only true gathers left are tiny (S+1)-row ones.
 """
 
 from __future__ import annotations
@@ -14,37 +17,33 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup
+
 
 class SortedPoints(NamedTuple):
     xyz: jnp.ndarray        # (P, 3) float32, sorted by (patch_id, z)
     z: jnp.ndarray          # (P,) convenience alias of xyz[:, 2]
     patch_id: jnp.ndarray   # (P,) int32, nondecreasing
-    orig_idx: jnp.ndarray   # (P,) int32 original row of each sorted point
-    start: jnp.ndarray      # (NP+2,) int32: start offset of each patch's run
+    start: jnp.ndarray      # (S+1,) int32: start offset of each patch's run
 
 
-def sort_by_patch(
-    xyz: jnp.ndarray, patch_id: jnp.ndarray, num_patches: int
-) -> SortedPoints:
+def sort_by_patch(xyz: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) -> SortedPoints:
     """Stable sort points by (patch_id, z); overflow bucket lands at the end."""
-    n = xyz.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    pid_s, z_s, x_s, y_s, idx_s = jax.lax.sort(
-        (patch_id, xyz[:, 2], xyz[:, 0], xyz[:, 1], idx),
+    pid_s, z_s, x_s, y_s = jax.lax.sort(
+        (patch_id, xyz[:, 2], xyz[:, 0], xyz[:, 1]),
         num_keys=2,
         is_stable=True,
     )
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
     start = jnp.searchsorted(
-        pid_s, jnp.arange(num_patches + 2, dtype=jnp.int32), side="left"
+        pid_s, jnp.arange(width + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    return SortedPoints(xyz=xyz_s, z=z_s, patch_id=pid_s, orig_idx=idx_s, start=start)
+    return SortedPoints(xyz=xyz_s, z=z_s, patch_id=pid_s, start=start)
 
 
-def patch_starts(sp: SortedPoints) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(counts, starts) per patch: counts[p] = #points in patch p."""
-    counts = sp.start[1:] - sp.start[:-1]
-    return counts[:-1], sp.start[:-1]
+def patch_counts(sp: SortedPoints) -> jnp.ndarray:
+    """(S,) float32 point count of each patch bucket."""
+    return (sp.start[1:] - sp.start[:-1]).astype(jnp.float32)
 
 
 def segment_rank(mask: jnp.ndarray, sp: SortedPoints) -> jnp.ndarray:
@@ -54,19 +53,12 @@ def segment_rank(mask: jnp.ndarray, sp: SortedPoints) -> jnp.ndarray:
     points are ascending in z within a patch, this is exactly the reference's
     "position after skipping earlier points" ordering.
     """
+    n = mask.shape[0]
     m = mask.astype(jnp.int32)
     incl = jnp.cumsum(m)
-    excl = incl - m
-    seg_base = excl[jnp.minimum(sp.start, mask.shape[0] - 1)]  # excl at patch start
-    # Guard the degenerate all-points case where start == P.
-    seg_base = jnp.where(sp.start >= mask.shape[0], incl[-1], seg_base)
-    return excl - seg_base[sp.patch_id]
-
-
-def segment_sum_sorted(
-    values: jnp.ndarray, sp: SortedPoints, num_segments: int
-) -> jnp.ndarray:
-    """Per-patch sum of ``values`` ((P,) or (P, C)) over the sorted layout."""
-    return jax.ops.segment_sum(
-        values, sp.patch_id, num_segments=num_segments, indices_are_sorted=True
-    )
+    excl = (incl - m).astype(jnp.float32)
+    # Per-patch base = excl at the patch's first row ((S+1)-row gather: tiny).
+    base = excl[jnp.minimum(sp.start, n - 1)]
+    base = jnp.where(sp.start >= n, jnp.float32(incl[-1]), base)
+    base_pt = patch_lookup(base[: sp.start.shape[0] - 1, None], sp.patch_id)[:, 0]
+    return excl - base_pt

@@ -22,7 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from patchworkpp_tpu.params import CZMGeometry, Params
 from patchworkpp_tpu.pipeline import FrameComm, FrameResult, make_frame_fn
-from patchworkpp_tpu.ops.segments import SortedPoints, segment_rank, segment_sum_sorted
+from patchworkpp_tpu.ops.onehot import SPAD, patch_reduce
+from patchworkpp_tpu.ops.segments import SortedPoints, segment_rank
 from patchworkpp_tpu.state import AdaptiveState
 
 
@@ -38,18 +39,18 @@ class MeshComm(FrameComm):
     def reduce_patches(self, x: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.psum(x, self.axis)
 
-    def lpr_stats(self, sp: SortedPoints, elig, num_lpr: int, num_segments: int):
+    def lpr_stats(self, sp: SortedPoints, elig, num_lpr: int):
         # 1. Each shard extracts its local num_lpr lowest eligible z per patch
-        #    into a dense (num_segments, num_lpr) table (+inf padded).
-        rank = segment_rank(elig, sp)
+        #    into a dense (SPAD, num_lpr) table (+inf padded).
+        rank = segment_rank(elig, sp).astype(jnp.int32)
         take = elig & (rank < num_lpr)
-        dump = num_segments * num_lpr
+        dump = SPAD * num_lpr
         slot = jnp.where(take, sp.patch_id * num_lpr + rank, dump)
         dense = (
             jnp.full(dump + 1, jnp.inf, jnp.float32)
             .at[slot]
             .set(jnp.where(take, sp.z, jnp.inf))
-        )[:dump].reshape(num_segments, num_lpr)
+        )[:dump].reshape(SPAD, num_lpr)
 
         # 2. Gather all shards' candidates and keep the global lowest num_lpr.
         allv = jax.lax.all_gather(dense, self.axis, axis=1, tiled=True)
@@ -57,8 +58,9 @@ class MeshComm(FrameComm):
 
         # 3. Mean over min(num_lpr, global eligible count), ascending order —
         #    the same summation order as the single-device path.
+        elig_f = jnp.where(elig, 1.0, 0.0)
         cnt = jax.lax.psum(
-            segment_sum_sorted(elig.astype(jnp.float32), sp, num_segments), self.axis
+            patch_reduce(elig_f[:, None], sp.patch_id)[:, 0], self.axis
         )
         k = jnp.minimum(cnt, float(num_lpr))
         take_k = (

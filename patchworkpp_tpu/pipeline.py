@@ -7,7 +7,7 @@ fixed-shape tensor program:
 
 - one fused per-point pass (RNR + CZM binning)                 [C3, C4]
 - one global (patch, z) sort replacing 504 per-patch sorts     [C5]
-- LPR/seed selection as segmented rank + reductions            [C6]
+- LPR/seed selection as segmented rank + MXU reductions        [C6]
 - R-VPF / R-GPF as statically unrolled masked iterations whose
   plane fits are batched masked moment reductions + a batched
   closed-form 3x3 eigensolve over all patches at once          [C7, C8, C9]
@@ -15,6 +15,13 @@ fixed-shape tensor program:
 - TGR + threshold adaptation as small dense ops over the
   4 rings of interest, with the adaptive state an explicit
   functional pytree (AdaptiveState) threaded through           [C11, C12]
+
+Data movement discipline (the perf-critical design rule): NO P-sized gathers
+or scatter-adds anywhere — on TPU those lower to a row-at-a-time emitter
+(~1 ms per op at 131k points). Every patch->point broadcast and point->patch
+reduction is a one-hot MXU matmul (ops/onehot.py), and the final labels are
+recomputed directly in original point order from small per-patch plane
+tables, so no inverse-permutation scatter exists either.
 
 Semantics match the reference per component C1-C13 of SURVEY.md §2,
 including its quirks (signed R-GPF distance test, zone-0 LPR margin,
@@ -35,13 +42,14 @@ import numpy as np
 from patchworkpp_tpu.params import CZMGeometry, Params
 from patchworkpp_tpu.state import AdaptiveState
 from patchworkpp_tpu.ops.binning import bin_points
+from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup, patch_reduce
 from patchworkpp_tpu.ops.segments import (
     SortedPoints,
+    patch_counts,
     segment_rank,
-    segment_sum_sorted,
     sort_by_patch,
 )
-from patchworkpp_tpu.ops.moments import masked_patch_moments, moments_to_mean_cov
+from patchworkpp_tpu.ops.moments import moment_features, moments_to_mean_cov
 from patchworkpp_tpu.ops.eigen3 import eigh3x3_descending
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
@@ -59,27 +67,29 @@ class FrameResult(NamedTuple):
 
 
 class StaticTables(NamedTuple):
-    """Host-precomputed per-patch constants (closed over as jit constants)."""
+    """Host-precomputed per-patch constants (closed over as jit constants).
+    All padded to the SPAD-wide patch space (504 patches + overflow + pad)."""
 
-    zone: np.ndarray        # (NP+1,) int32 zone of each patch
-    cring: np.ndarray       # (NP+1,) int32 concentric ring (0..13); NP -> 14
-    shift: np.ndarray       # (NP+1, 3) f32 static centering offset per patch
+    zone: np.ndarray        # (S,) int32 zone of each patch
+    cring: np.ndarray       # (S,) int32 concentric ring (0..13); pad -> 14
+    shift: np.ndarray       # (S, 3) f32 static centering offset per patch
     ring_slices: Tuple[Tuple[int, int], ...]  # (start, stop) per ring of interest
     max_ring_patches: int   # pad width for ring-of-interest arrays
+    num_zone0: int          # patches in zone 0 (their flat ids are [0, num_zone0))
 
 
 def build_static_tables(params: Params, geom: CZMGeometry) -> StaticTables:
     p = params
     npz = geom.num_patches
-    zone = np.concatenate([geom.patch_zone(), [p.num_zones - 1]]).astype(np.int32)
-    cring = np.concatenate(
-        [geom.patch_concentric_ring(), [geom.num_concentric_rings]]
-    ).astype(np.int32)
+    zone = np.full(SPAD, p.num_zones - 1, np.int32)
+    zone[:npz] = geom.patch_zone()
+    cring = np.full(SPAD, geom.num_concentric_rings, np.int32)
+    cring[:npz] = geom.patch_concentric_ring()
 
     # Static per-patch centering offset: the patch's geometric center at the
     # nominal ground height. Only used to keep f32 covariance well conditioned;
     # any fixed offset is semantically neutral.
-    shift = np.zeros((npz + 1, 3), np.float32)
+    shift = np.zeros((SPAD, 3), np.float32)
     sector = geom.patch_sector()
     lo = np.asarray(geom.min_ranges)
     for pid in range(npz):
@@ -94,12 +104,14 @@ def build_static_tables(params: Params, geom: CZMGeometry) -> StaticTables:
         sel = np.flatnonzero(cring[:npz] == ci)
         ring_slices.append((int(sel[0]), int(sel[-1]) + 1))
     max_rp = max(b - a for a, b in ring_slices)
+    num_zone0 = p.num_rings_each_zone[0] * p.num_sectors_each_zone[0]
     return StaticTables(
         zone=zone,
         cring=cring,
         shift=shift,
         ring_slices=tuple(ring_slices),
         max_ring_patches=max_rp,
+        num_zone0=num_zone0,
     )
 
 
@@ -112,44 +124,6 @@ class _PlaneCarry(NamedTuple):
     normal: jnp.ndarray  # (S, 3)
     d: jnp.ndarray       # (S,)
     svals: jnp.ndarray   # (S, 3)
-
-
-def _fit_planes(
-    carry: _PlaneCarry,
-    sp: SortedPoints,
-    q: jnp.ndarray,
-    mask: jnp.ndarray,
-    patch_gate: jnp.ndarray,
-    shift: jnp.ndarray,
-    num_segments: int,
-    comm: "FrameComm",
-) -> _PlaneCarry:
-    """Batched masked PCA plane fit with carry (reference estimate_plane :47-75).
-
-    ``patch_gate`` (S,) limits which patches may update (e.g. R-VPF alive set);
-    patches whose masked point count is zero keep their previous plane.
-    """
-    mask = mask & patch_gate[sp.patch_id]
-    mom = comm.reduce_patches(masked_patch_moments(q, mask, sp.patch_id, num_segments))
-    n, mean, cov = moments_to_mean_cov(mom, shift)
-    svals, normal = eigh3x3_descending(cov)
-    d = -jnp.sum(normal * mean, axis=-1)
-    upd = patch_gate & (n > 0)
-    u3 = upd[:, None]
-    return _PlaneCarry(
-        n=jnp.where(upd, n, carry.n),
-        mean=jnp.where(u3, mean, carry.mean),
-        normal=jnp.where(u3, normal, carry.normal),
-        d=jnp.where(upd, d, carry.d),
-        svals=jnp.where(u3, svals, carry.svals),
-    )
-
-
-def _point_plane_dist(carry: _PlaneCarry, sp: SortedPoints) -> jnp.ndarray:
-    """Signed distance of every point to its patch's current plane (:551-554)."""
-    nrm = carry.normal[sp.patch_id]
-    d = carry.d[sp.patch_id]
-    return jnp.sum(sp.xyz * nrm, axis=-1) + d
 
 
 class FrameComm:
@@ -169,25 +143,54 @@ class FrameComm:
         """Sum a per-patch statistic across shards."""
         return x
 
-    def lpr_stats(
-        self, sp: SortedPoints, elig: jnp.ndarray, num_lpr: int, num_segments: int
-    ):
+    def lpr_stats(self, sp: SortedPoints, elig: jnp.ndarray, num_lpr: int):
         """(sum, count) of each patch's num_lpr globally-lowest eligible z."""
         rank = segment_rank(elig, sp)
-        take = elig & (rank < num_lpr)
-        tf = take.astype(jnp.float32)
-        sums = segment_sum_sorted(jnp.stack([sp.z * tf, tf], axis=1), sp, num_segments)
+        tf = jnp.where(elig & (rank < num_lpr), 1.0, 0.0)
+        sums = patch_reduce(jnp.stack([sp.z * tf, tf], axis=1), sp.patch_id)
         return sums[:, 0], sums[:, 1]
+
+
+def _fit_planes(
+    carry: _PlaneCarry,
+    sp: SortedPoints,
+    q: jnp.ndarray,
+    mask_f: jnp.ndarray,
+    patch_gate: jnp.ndarray,
+    shift: jnp.ndarray,
+    comm: "FrameComm",
+):
+    """Batched masked PCA plane fit with carry (reference estimate_plane :47-75).
+
+    ``mask_f`` (P,) f32 0/1 selects the fit's points (already gated per patch
+    by the caller via lookup channels); ``patch_gate`` (S,) bool limits which
+    patches may update. Patches whose masked count is zero keep their
+    previous plane. Returns (new_carry, raw_count).
+    """
+    mom = comm.reduce_patches(patch_reduce(moment_features(q) * mask_f[:, None], sp.patch_id))
+    n, mean, cov = moments_to_mean_cov(mom, shift)
+    svals, normal = eigh3x3_descending(cov)
+    d = -jnp.sum(normal * mean, axis=-1)
+    upd = patch_gate & (n > 0)
+    u3 = upd[:, None]
+    new_carry = _PlaneCarry(
+        n=jnp.where(upd, n, carry.n),
+        mean=jnp.where(u3, mean, carry.mean),
+        normal=jnp.where(u3, normal, carry.normal),
+        d=jnp.where(upd, d, carry.d),
+        svals=jnp.where(u3, svals, carry.svals),
+    )
+    return new_carry, n
 
 
 def _seed_mask(
     sp: SortedPoints,
     active: jnp.ndarray,
     zone0_pt: jnp.ndarray,
+    gate_tab: jnp.ndarray,
     sensor_height: jnp.ndarray,
     th_seed: float,
     params: Params,
-    num_segments: int,
     comm: FrameComm,
 ) -> jnp.ndarray:
     """Initial-seed selection over the active set (reference :77-149).
@@ -195,12 +198,16 @@ def _seed_mask(
     LPR = mean z of the lowest <= num_lpr active points, where zone-0 patches
     first skip points below margin * sensor_height; seeds are all active
     points with z < LPR + th_seed (the margin does NOT filter seeds).
+    ``gate_tab`` (S,) f32 gates the produced seed mask per patch.
+    Returns an f32 0/1 mask.
     """
     margin_thr = jnp.float32(params.adaptive_seed_selection_margin) * sensor_height
     elig = active & (~zone0_pt | (sp.z >= margin_thr))
-    lpr_sum, lpr_cnt = comm.lpr_stats(sp, elig, params.num_lpr, num_segments)
+    lpr_sum, lpr_cnt = comm.lpr_stats(sp, elig, params.num_lpr)
     lpr = jnp.where(lpr_cnt > 0, lpr_sum / jnp.maximum(lpr_cnt, 1.0), 0.0)
-    return active & (sp.z < lpr[sp.patch_id] + jnp.float32(th_seed))
+    look = patch_lookup(jnp.stack([lpr, gate_tab], axis=1), sp.patch_id)
+    seed = active & (sp.z < look[:, 0] + jnp.float32(th_seed)) & (look[:, 1] > 0.5)
+    return jnp.where(seed, 1.0, 0.0)
 
 
 def _masked_mean_stdev(vals: jnp.ndarray, mask: jnp.ndarray):
@@ -231,11 +238,11 @@ def make_frame_fn(
     comm = comm or FrameComm()
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
-    nseg = npz + 1
 
     zone_tab = jnp.asarray(tables.zone)
     cring_tab = jnp.asarray(tables.cring)
     shift_tab = jnp.asarray(tables.shift)
+    sid = jnp.arange(SPAD, dtype=jnp.int32)
 
     def frame(state: AdaptiveState, points: jnp.ndarray, npts: jnp.ndarray):
         points = points.astype(jnp.float32)
@@ -243,26 +250,30 @@ def make_frame_fn(
 
         # ---- per-point: RNR + CZM (C3, C4) ----
         bins = bin_points(points, npts, state.sensor_height, p, geom)
+        pid_o = bins.patch_id
+        xyz_o = points[:, :3]
 
         # ---- global (patch, z) sort (C5) ----
-        sp = sort_by_patch(points[:, :3], bins.patch_id, npz)
-        counts = comm.reduce_patches(sp.start[1:nseg + 1] - sp.start[:nseg])
-        processed = (counts >= p.num_min_pts) & (
-            jnp.arange(nseg, dtype=jnp.int32) < npz
-        )
+        sp = sort_by_patch(xyz_o, pid_o, SPAD)
+        counts = comm.reduce_patches(patch_counts(sp))
+        processed = (counts >= p.num_min_pts) & (sid < npz)
+        proc_f = jnp.where(processed, 1.0, 0.0)
 
         pid_s = sp.patch_id
-        zone0_pt = zone_tab[pid_s] == 0
-        active = processed[pid_s]
-        q = sp.xyz - shift_tab[pid_s]
+        zone0_pt = pid_s < tables.num_zone0  # zone-0 patches are flat ids [0, 32)
+        q = sp.xyz - patch_lookup(shift_tab, pid_s)
+        active = patch_lookup(proc_f[:, None], pid_s)[:, 0] > 0.5
 
         carry = _PlaneCarry(
-            n=jnp.zeros(nseg, jnp.float32),
-            mean=jnp.zeros((nseg, 3), jnp.float32),
-            normal=jnp.zeros((nseg, 3), jnp.float32),
-            d=jnp.zeros(nseg, jnp.float32),
-            svals=jnp.zeros((nseg, 3), jnp.float32),
+            n=jnp.zeros(SPAD, jnp.float32),
+            mean=jnp.zeros((SPAD, 3), jnp.float32),
+            normal=jnp.zeros((SPAD, 3), jnp.float32),
+            d=jnp.zeros(SPAD, jnp.float32),
+            svals=jnp.zeros((SPAD, 3), jnp.float32),
         )
+
+        # Saved per-iteration plane tables for the original-order label pass.
+        vpf_tables = []
 
         # ---- R-VPF: peel vertical planes, zone 0 only (C8, reference :477-508).
         # A patch stays "alive" while (zone == 0 and the fit is not upright);
@@ -270,34 +281,50 @@ def make_frame_fn(
         if p.enable_RVPF:
             alive = processed
             for _ in range(p.num_iter):
-                seeds = _seed_mask(
-                    sp, active, zone0_pt, state.sensor_height, p.th_seeds_v,
-                    p, nseg, comm,
+                alive_f = jnp.where(alive, 1.0, 0.0)
+                seeds_f = _seed_mask(
+                    sp, active, zone0_pt, alive_f, state.sensor_height,
+                    p.th_seeds_v, p, comm,
                 )
-                carry = _fit_planes(carry, sp, q, seeds, alive, shift_tab, nseg, comm)
+                carry, _ = _fit_planes(carry, sp, q, seeds_f, alive, shift_tab, comm)
                 vert = (
                     alive
-                    & (zone_tab == 0)
+                    & (sid < tables.num_zone0)
                     & (carry.normal[:, 2] < jnp.float32(p.uprightness_thr))
                 )
-                dist = _point_plane_dist(carry, sp)
-                peel = active & vert[pid_s] & (jnp.abs(dist) < jnp.float32(p.th_dist_v))
+                vert_f = jnp.where(vert, 1.0, 0.0)
+                plane_tab = jnp.concatenate(
+                    [carry.normal, carry.d[:, None], vert_f[:, None]], axis=1
+                )
+                vpf_tables.append(plane_tab)
+                look = patch_lookup(plane_tab, pid_s)
+                dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
+                peel = (
+                    active
+                    & (look[:, 4] > 0.5)
+                    & (jnp.abs(dist) < jnp.float32(p.th_dist_v))
+                )
                 active = active & ~peel
                 alive = vert
 
         # ---- R-GPF: iterative ground plane refinement (C9, reference :510-543).
-        seeds = _seed_mask(
-            sp, active, zone0_pt, state.sensor_height, p.th_seeds, p, nseg, comm
+        seeds_f = _seed_mask(
+            sp, active, zone0_pt, proc_f, state.sensor_height, p.th_seeds, p, comm
         )
-        carry = _fit_planes(carry, sp, q, seeds, processed, shift_tab, nseg, comm)
-        g = jnp.zeros_like(active)
-        for _ in range(p.num_iter):
-            dist = _point_plane_dist(carry, sp)
-            g = active & (dist < jnp.float32(p.th_dist))  # signed test (:525)
-            carry = _fit_planes(carry, sp, q, g, processed, shift_tab, nseg, comm)
-        g_count = comm.reduce_patches(
-            segment_sum_sorted(g.astype(jnp.float32), sp, nseg)
-        )
+        carry, _ = _fit_planes(carry, sp, q, seeds_f, processed, shift_tab, comm)
+        g_f = jnp.zeros(points.shape[0], jnp.float32)
+        g_count = jnp.zeros(SPAD, jnp.float32)
+        final_plane_tab = None
+        for i in range(p.num_iter):
+            plane_tab = jnp.concatenate([carry.normal, carry.d[:, None]], axis=1)
+            if i == p.num_iter - 1:
+                final_plane_tab = plane_tab
+            look = patch_lookup(plane_tab, pid_s)
+            dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
+            g_f = jnp.where(
+                active & (dist < jnp.float32(p.th_dist)), 1.0, 0.0
+            )  # signed test (:525)
+            carry, g_count = _fit_planes(carry, sp, q, g_f, processed, shift_tab, comm)
 
         # ---- A-GLE cascade (C10, reference :214-288) ----
         uprightness = carry.normal[:, 2]
@@ -345,7 +372,7 @@ def make_frame_fn(
             ring_cand = ring_cand.at[ci, :s].set(candidate[a:b])
             ring_elev = ring_elev.at[ci, :s].set(elevation[a:b])
 
-        revert_patch = jnp.zeros(nseg, bool)
+        revert_patch = jnp.zeros(SPAD, bool)
         if p.enable_TGR:
             flush_from = jnp.int32(0)
             ring_ids = jnp.arange(n_roi, dtype=jnp.int32)
@@ -369,14 +396,32 @@ def make_frame_fn(
         # ---- adaptive threshold update (C11, reference :338-375) ----
         new_state = _update_state(state, p, ring_acc, ring_elev, ring_flat)
 
-        # ---- per-point labels, back to original order (C13) ----
-        patch_ground = ground_patch | revert_patch
-        ground_sorted = g & patch_ground[pid_s]
-        ground = (
-            jnp.zeros(points.shape[0], bool)
-            .at[sp.orig_idx]
-            .set(ground_sorted, unique_indices=True)
+        # ---- per-point labels, computed directly in ORIGINAL order (C13).
+        # Replays the peel tests and the final distance test against the saved
+        # per-patch plane tables — no inverse-permutation scatter.
+        patch_ground_f = jnp.where(ground_patch | revert_patch, 1.0, 0.0)
+        label_tab = jnp.concatenate(
+            [final_plane_tab, jnp.stack([patch_ground_f, proc_f], axis=1)]
+            + vpf_tables,
+            axis=1,
         )
+        lk = patch_lookup(label_tab, pid_o)
+        dist_o = jnp.sum(xyz_o * lk[:, :3], axis=1) + lk[:, 3]
+        in_proc = lk[:, 5] > 0.5
+        peeled = jnp.zeros(points.shape[0], bool)
+        for it in range(len(vpf_tables)):
+            c0 = 6 + 5 * it
+            dist_v = jnp.sum(xyz_o * lk[:, c0 : c0 + 3], axis=1) + lk[:, c0 + 3]
+            peeled = peeled | (
+                (lk[:, c0 + 4] > 0.5) & (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
+            )
+        ground = (
+            in_proc
+            & ~peeled
+            & (dist_o < jnp.float32(p.th_dist))
+            & (lk[:, 4] > 0.5)
+        )
+
         result = FrameResult(
             ground_mask=ground,
             num_ground=comm.reduce_patches(jnp.sum(ground).astype(jnp.int32)),
