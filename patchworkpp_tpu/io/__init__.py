@@ -6,6 +6,7 @@ from patchworkpp_tpu.io.kitti import (
     pad_cloud,
     ScanDataset,
     GROUND_LABELS,
+    ground_truth_mask,
     evaluate_masks,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "pad_cloud",
     "ScanDataset",
     "GROUND_LABELS",
+    "ground_truth_mask",
     "evaluate_masks",
 ]

@@ -1,0 +1,152 @@
+"""ctypes wrapper for the native prefetching scan loader (native/loader.cpp).
+
+The native loader stages KITTI scans as fixed-capacity padded (capacity, 4)
+float32 buffers behind a thread pool, in scan order, so the serving loop's
+host side is a zero-copy buffer handoff instead of per-frame
+read+pad+copy in Python. Falls back transparently: callers should use
+:func:`available` and fall back to :func:`patchworkpp_tpu.io.read_bin` +
+:func:`pad_cloud` when the shared library isn't built.
+
+Build once with: ``make -C native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libppk_loader.so",
+)
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.ppk_loader_create.restype = ctypes.c_void_p
+    lib.ppk_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.ppk_loader_acquire.restype = ctypes.c_int
+    lib.ppk_loader_acquire.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ppk_loader_release.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.ppk_loader_io_errors.restype = ctypes.c_int
+    lib.ppk_loader_io_errors.argtypes = [ctypes.c_void_p]
+    lib.ppk_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the shared library if the toolchain is available."""
+    native_dir = os.path.dirname(_LIB_PATH)
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            check=True,
+            capture_output=quiet,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    global _lib
+    _lib = None
+    return _load() is not None
+
+
+def available() -> bool:
+    return _load() is not None or build()
+
+
+class NativeScanLoader:
+    """Ordered, prefetched iteration over .bin scans as padded buffers.
+
+    Yields (padded_view, npts, scan_index); the view is only valid until the
+    next iteration (the slot is recycled). Copy if you need to keep it —
+    ``jnp.asarray`` does, implicitly, when feeding the device.
+    """
+
+    def __init__(
+        self,
+        paths: List[str],
+        capacity: int,
+        queue_depth: int = 4,
+        n_threads: int = 2,
+        loop: bool = False,
+    ) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native loader not built; run make -C native")
+        self._lib = lib
+        self.capacity = capacity
+        arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+        self._handle = lib.ppk_loader_create(
+            arr, len(paths), capacity, queue_depth, n_threads, int(loop)
+        )
+        if not self._handle:
+            raise RuntimeError("failed to create native loader")
+        self._held: Optional[ctypes.POINTER(ctypes.c_float)] = None
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, int, int]]:
+        return self
+
+    def __next__(self) -> Tuple[np.ndarray, int, int]:
+        self._release_held()
+        buf = ctypes.POINTER(ctypes.c_float)()
+        npts = ctypes.c_int()
+        idx = ctypes.c_int()
+        rc = self._lib.ppk_loader_acquire(
+            self._handle, ctypes.byref(buf), ctypes.byref(npts), ctypes.byref(idx)
+        )
+        if rc != 0:
+            raise StopIteration
+        self._held = buf
+        view = np.ctypeslib.as_array(buf, shape=(self.capacity, 4))
+        return view, int(npts.value), int(idx.value)
+
+    def _release_held(self) -> None:
+        if self._held is not None:
+            self._lib.ppk_loader_release(self._handle, self._held)
+            self._held = None
+
+    @property
+    def io_errors(self) -> int:
+        return int(self._lib.ppk_loader_io_errors(self._handle))
+
+    def close(self) -> None:
+        if self._handle:
+            self._release_held()
+            self._lib.ppk_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self) -> "NativeScanLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self) -> None:  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass

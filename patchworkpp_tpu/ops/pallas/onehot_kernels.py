@@ -32,7 +32,11 @@ def _lookup_kernel(pid_ref, table_ref, out_ref):
     onehot = (
         pid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (pid.shape[0], s), 1)
     ).astype(jnp.float32)
-    out_ref[:] = jnp.dot(onehot, table_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(
+        onehot, table_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -65,6 +69,7 @@ def _reduce_kernel(pid_ref, feats_ref, out_ref, acc_ref):
         feats_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(i == 0)

@@ -1,0 +1,136 @@
+"""Unit tests for the core tensor ops (SURVEY.md §4b: per-kernel vs jnp ref)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patchworkpp_tpu.ops.eigen3 import eigh3x3_descending
+from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup, patch_reduce
+from patchworkpp_tpu.ops.segments import segment_rank, sort_by_patch, patch_counts
+from patchworkpp_tpu.ops.moments import moment_features
+from patchworkpp_tpu.ops.binning import bin_points
+from patchworkpp_tpu.params import CZMGeometry, Params
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+# ------------------------------------------------------------------ eigen3
+
+
+def test_eigen3_matches_numpy(rng):
+    a = rng.normal(size=(500, 3, 3)).astype(np.float32)
+    cov = (a @ a.transpose(0, 2, 1)).astype(np.float32)
+    ev, vm = map(np.asarray, eigh3x3_descending(jnp.asarray(cov)))
+    ref = np.linalg.eigvalsh(cov.astype(np.float64))[:, ::-1]
+    rel = np.abs(ev - ref) / (np.abs(ref).max(axis=1, keepdims=True) + 1e-30)
+    assert rel.max() < 1e-4
+    # eigenvector residual for the smallest eigenvalue
+    res = np.einsum("bij,bj->bi", cov.astype(np.float64), vm) - ref[:, 2:3] * vm
+    assert np.abs(res).max() < 1e-2 * np.abs(cov).max()
+    assert (vm[:, 2] >= 0).all()
+
+
+def test_eigen3_planar_covariances(rng):
+    """Ground-like: two large eigenvalues, one tiny. Normal must be accurate."""
+    d = np.stack([np.diag([4.0, 1.0, f]).astype(np.float32) for f in (1e-6, 1e-4, 1e-2)])
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3, 3)))
+    cov = (q @ d @ q.transpose(0, 2, 1)).astype(np.float32)
+    ev, vm = map(np.asarray, eigh3x3_descending(jnp.asarray(cov)))
+    ref_w, ref_v = np.linalg.eigh(cov.astype(np.float64))
+    np.testing.assert_allclose(ev[:, 2], ref_w[:, 0], atol=2e-5)
+    dots = np.abs(np.einsum("bi,bi->b", vm, ref_v[:, :, 0]))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+
+def test_eigen3_nan_and_zero():
+    cov = jnp.stack([jnp.full((3, 3), jnp.nan), jnp.zeros((3, 3))])
+    ev, vm = eigh3x3_descending(cov)
+    assert np.isnan(np.asarray(ev[0])).all() and np.isnan(np.asarray(vm[0])).all()
+    np.testing.assert_array_equal(np.asarray(vm[1]), [0, 0, 1])
+
+
+# ------------------------------------------------------------------ onehot
+
+
+def test_patch_lookup_exact(rng):
+    pid = jnp.asarray(rng.integers(0, 505, 4096).astype(np.int32))
+    table = jnp.asarray(rng.normal(size=(SPAD, 7)).astype(np.float32))
+    out = np.asarray(jax.jit(patch_lookup)(table, pid))
+    np.testing.assert_array_equal(out, np.asarray(table)[np.asarray(pid)])
+
+
+def test_patch_reduce_matches_segment_sum(rng):
+    pid = rng.integers(0, 505, 4096).astype(np.int32)
+    feats = rng.normal(size=(4096, 5)).astype(np.float32)
+    out = np.asarray(jax.jit(patch_reduce)(jnp.asarray(feats), jnp.asarray(pid)))
+    ref = np.zeros((SPAD, 5), np.float64)
+    np.add.at(ref, pid, feats.astype(np.float64))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- segments
+
+
+def test_sort_and_rank(rng):
+    n = 2048
+    pid = rng.integers(0, 40, n).astype(np.int32)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    sp = jax.jit(lambda x, p: sort_by_patch(x, p))(jnp.asarray(xyz), jnp.asarray(pid))
+    pid_s = np.asarray(sp.patch_id)
+    z_s = np.asarray(sp.z)
+    assert (np.diff(pid_s) >= 0).all()
+    for s in np.unique(pid_s):
+        zs = z_s[pid_s == s]
+        assert (np.diff(zs) >= 0).all()
+    counts = np.asarray(patch_counts(sp))
+    ref_counts = np.bincount(pid, minlength=SPAD)
+    np.testing.assert_array_equal(counts, ref_counts)
+
+    mask = np.asarray(sp.z) > 0
+    rank = np.asarray(jax.jit(segment_rank)(jnp.asarray(mask), sp))
+    for s in np.unique(pid_s):
+        rows = np.flatnonzero(pid_s == s)
+        expect = np.cumsum(mask[rows]) - mask[rows]
+        np.testing.assert_array_equal(rank[rows], expect)
+
+
+# ----------------------------------------------------------------- binning
+
+
+def test_bin_points_matches_oracle_czm(rng, scans):
+    """Patch assignment parity vs the golden-exact oracle's CZM."""
+    from patchworkpp_tpu.oracle import NumpyPatchworkpp
+
+    params = Params()
+    geom = CZMGeometry.create(params)
+    cloud = scans["000000"][::16]
+    n = len(cloud)
+    pad = np.zeros((8192, 4), np.float32)
+    pad[:n] = cloud
+
+    oracle = NumpyPatchworkpp(params)
+    noise = oracle._rnr_mask(cloud)
+    ref_pid, _ = oracle._czm_assign(cloud, excluded=noise)
+
+    import jax.numpy as jnp
+
+    bins = jax.jit(
+        lambda x, m, sh: bin_points(x, m, sh, params, geom)
+    )(jnp.asarray(pad), jnp.int32(n), jnp.float32(params.sensor_height))
+    got = np.asarray(bins.patch_id)[:n]
+    ref = np.where(ref_pid < 0, geom.num_patches, ref_pid)
+    mismatch = (got != ref).sum()
+    assert mismatch <= n * 1e-4, f"{mismatch}/{n} binning mismatches"
+
+
+def test_moment_features_shape(rng):
+    q = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+    f = np.asarray(moment_features(q))
+    assert f.shape == (128, 10)
+    np.testing.assert_allclose(f[:, 0], 1.0)
+    np.testing.assert_allclose(f[:, 4], np.asarray(q)[:, 0] ** 2, rtol=1e-6)
