@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_SCANS_PER_S = 29.8
 DATA_DIR = "/root/reference/data"
 CAPACITY = 131072
-TIMED_EPOCHS = 8
+TIMED_EPOCHS = 20
 
 
 def main() -> None:
@@ -48,10 +48,11 @@ def main() -> None:
     fn = jax.jit(make_frame_fn(params))
     state = init_state(params)
 
-    # Warmup: compile + one full epoch; scalar fetch forces completion.
+    # Warmup: compile + two full epochs; scalar fetch forces completion.
     st = state
-    for x, n in scans:
-        st, res = fn(st, x, n)
+    for _ in range(2):
+        for x, n in scans:
+            st, res = fn(st, x, n)
     int(res.num_ground)
 
     frames = 0

@@ -1,0 +1,92 @@
+"""Tiled patch layout: every 128-slot tile holds points of exactly one patch.
+
+The fused fit kernel (ops/pallas/fit_kernel.py) wants per-tile single-patch
+structure so per-patch broadcasts are one VMEM row read instead of a P-wide
+gather or one-hot matmul. The layout is built by the *sort itself*: inject
+per-patch filler rows (sort key z=+inf, so they land at each patch's tail)
+sized to round every patch's run up to a multiple of TILE, then sort
+(patch, z) over the extended array. Patch runs then start and end on tile
+boundaries, so tile t belongs entirely to patch tile_patch[t].
+
+Capacity: PT = P + (S-1) * (TILE-1) rounded up bounds the worst case (every
+patch non-empty with maximal padding waste).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from patchworkpp_tpu.ops.onehot import SPAD, patch_reduce
+
+TILE = 128
+
+
+def tiled_capacity(p: int) -> int:
+    """Static extended length for a P-point cloud (multiple of TILE)."""
+    worst = p + (SPAD - 1) * (TILE - 1)
+    return -(-worst // TILE) * TILE
+
+
+class TiledPoints(NamedTuple):
+    xyz: jnp.ndarray         # (PT, 3) f32; filler rows zeroed
+    valid: jnp.ndarray       # (PT,) bool: real point (not filler/padding)
+    patch_id: jnp.ndarray    # (PT,) int32 nondecreasing
+    tile_patch: jnp.ndarray  # (PT/TILE,) int32: the patch owning each tile
+    counts: jnp.ndarray      # (SPAD,) f32: real points per patch
+    pad_start: jnp.ndarray   # (SPAD+1,) int32: tile-aligned run starts
+
+
+def build_tiled(xyz: jnp.ndarray, patch_id: jnp.ndarray) -> TiledPoints:
+    """Sort points into the tiled layout.
+
+    Args:
+      xyz: (P, 3) f32 points (original order).
+      patch_id: (P,) int32 in [0, SPAD).
+    """
+    p = xyz.shape[0]
+    pt = tiled_capacity(p)
+    nfill = pt - p
+
+    # Real per-patch counts and the padded (tile-aligned) run lengths.
+    counts_i = patch_reduce(jnp.ones((p, 1), jnp.float32), patch_id)[:, 0].astype(
+        jnp.int32
+    )
+    padded = -(-counts_i // TILE) * TILE  # ceil to tile multiple; 0 stays 0
+    pad_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )
+
+    # Filler j (of the patch-padding kind) belongs to the patch whose padding
+    # interval covers j: intervals sized padded-counts, found by searchsorted.
+    fill_needed = padded - counts_i
+    fill_bounds = jnp.cumsum(fill_needed)
+    j = jnp.arange(nfill, dtype=jnp.int32)
+    fill_patch = jnp.searchsorted(fill_bounds, j, side="right").astype(jnp.int32)
+    # Fillers beyond the total needed go to a sentinel bucket past all patches.
+    total_fill = fill_bounds[-1]
+    fill_patch = jnp.where(j < total_fill, fill_patch, jnp.int32(SPAD))
+
+    big = jnp.float32(jnp.inf)
+    key_pid = jnp.concatenate([patch_id, fill_patch])
+    key_z = jnp.concatenate([xyz[:, 2], jnp.full(nfill, big)])
+    pay_x = jnp.concatenate([xyz[:, 0], jnp.zeros(nfill)])
+    pay_y = jnp.concatenate([xyz[:, 1], jnp.zeros(nfill)])
+
+    pid_s, z_s, x_s, y_s = jax.lax.sort(
+        (key_pid, key_z, pay_x, pay_y), num_keys=2, is_stable=True
+    )
+    valid = ~jnp.isinf(z_s)
+    z_s = jnp.where(valid, z_s, 0.0)
+
+    tile_patch = pid_s[:: TILE]
+    return TiledPoints(
+        xyz=jnp.stack([x_s, y_s, z_s], axis=1),
+        valid=valid,
+        patch_id=pid_s,
+        tile_patch=tile_patch,
+        counts=counts_i.astype(jnp.float32),
+        pad_start=pad_start,
+    )

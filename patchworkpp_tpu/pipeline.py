@@ -225,6 +225,8 @@ def make_frame_fn(
     params: Params,
     geom: CZMGeometry | None = None,
     comm: FrameComm | None = None,
+    fused: bool | None = None,
+    interpret: bool = False,
 ):
     """Build the pure frame step ``fn(state, points, npts) -> (state, FrameResult)``.
 
@@ -232,10 +234,19 @@ def make_frame_fn(
     function is jit-compatible and shape-polymorphic only in P. With a
     mesh-aware ``comm`` it runs as the per-shard body of a point-sharded
     shard_map (points = this shard's rows, npts = global count).
+
+    ``fused`` selects the single-kernel Pallas fit loop over the tiled patch
+    layout (ops/pallas/fit_kernel.py) — the fast path on TPU. Default: auto
+    (TPU and no point sharding). ``interpret`` runs the kernel in interpreter
+    mode (CPU testing).
     """
     p = params
     geom = geom or CZMGeometry.create(p)
     comm = comm or FrameComm()
+    if fused is None:
+        # The fused kernel is opt-in until its Mosaic compile time on the
+        # tunneled TPU is characterized (see ops/pallas/fit_kernel.py).
+        fused = False
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
 
@@ -243,6 +254,115 @@ def make_frame_fn(
     cring_tab = jnp.asarray(tables.cring)
     shift_tab = jnp.asarray(tables.shift)
     sid = jnp.arange(SPAD, dtype=jnp.int32)
+
+
+    def _finalize(
+        state, normal, mean, svals, n_carry, g_count, processed, proc_f,
+        final_plane_tab, vpf_tables, pid_o, xyz_o, npoints,
+    ):
+        """Shared tail: A-GLE cascade, TGR, state update, original-order labels."""
+        uprightness = normal[:, 2]
+        elevation = mean[:, 2]
+        flatness = svals[:, 2]
+        sv0, sv1 = svals[:, 0], svals[:, 1]
+        line_variable = jnp.where(sv1 != 0, sv0 / sv1, _F32_MAX)
+        heading = jnp.sum(mean * normal, axis=-1)
+
+        is_upright = uprightness > jnp.float32(p.uprightness_thr)
+        is_near = cring_tab < p.num_rings_of_interest
+        ring_idx = jnp.minimum(cring_tab, p.num_rings_of_interest - 1)
+        is_not_elevated = is_near & (elevation < state.elevation_thr[ring_idx])
+        is_flat = is_near & (flatness < state.flatness_thr[ring_idx])
+        heading_out = heading < 0.0
+
+        accept = processed & is_upright & is_not_elevated & is_near
+        ground_patch = (
+            processed
+            & is_upright
+            & (~is_near | (heading_out & (is_not_elevated | is_flat)))
+        )
+        candidate = (
+            processed
+            & is_upright
+            & is_near
+            & heading_out
+            & ~is_not_elevated
+            & ~is_flat
+        )
+
+        # ---- TGR per ring of interest (C12, reference :291-304, :402-464).
+        # ringwise_flatness is only flushed on rings that actually had
+        # candidates, so accepted flatness can span several rings (quirk).
+        n_roi = p.num_rings_of_interest
+        w = tables.max_ring_patches
+        ring_flat = jnp.zeros((n_roi, w), jnp.float32)
+        ring_acc = jnp.zeros((n_roi, w), bool)
+        ring_elev = jnp.zeros((n_roi, w), jnp.float32)
+        for ci, (a, b) in enumerate(tables.ring_slices):
+            s = b - a
+            ring_flat = ring_flat.at[ci, :s].set(flatness[a:b])
+            ring_acc = ring_acc.at[ci, :s].set(accept[a:b])
+            ring_elev = ring_elev.at[ci, :s].set(elevation[a:b])
+
+        revert_patch = jnp.zeros(SPAD, bool)
+        if p.enable_TGR:
+            flush_from = jnp.int32(0)
+            ring_ids = jnp.arange(n_roi, dtype=jnp.int32)
+            for ci, (a, b) in enumerate(tables.ring_slices):
+                include = (ring_ids >= flush_from) & (ring_ids <= ci)
+                m = ring_acc & include[:, None]
+                mean_f, stdev_f, _ = _masked_mean_stdev(ring_flat, m)
+                mu = mean_f + 1.5 * stdev_f
+                F = flatness[a:b]
+                prob_flat = 1.0 / (1.0 + jnp.exp((F - mu) / (mu / 10.0)))
+                big_flat = (g_count[a:b] > 1500) & (
+                    F < jnp.float32(p.th_dist * p.th_dist)
+                )
+                prob_flat = jnp.where(big_flat, 1.0, prob_flat)
+                prob_line = jnp.where(line_variable[a:b] > 8.0, 0.0, 1.0)
+                revert = candidate[a:b] & (prob_line * prob_flat > 0.5)
+                revert_patch = revert_patch.at[a:b].set(revert)
+                has_cand = jnp.any(candidate[a:b])
+                flush_from = jnp.where(has_cand, jnp.int32(ci + 1), flush_from)
+
+        # ---- adaptive threshold update (C11, reference :338-375) ----
+        new_state = _update_state(state, p, ring_acc, ring_elev, ring_flat)
+
+        # ---- per-point labels, computed directly in ORIGINAL order (C13).
+        # Replays the peel tests and the final distance test against the saved
+        # per-patch plane tables — no inverse-permutation scatter.
+        patch_ground_f = jnp.where(ground_patch | revert_patch, 1.0, 0.0)
+        label_tab = jnp.concatenate(
+            [final_plane_tab, jnp.stack([patch_ground_f, proc_f], axis=1)]
+            + vpf_tables,
+            axis=1,
+        )
+        lk = patch_lookup(label_tab, pid_o)
+        dist_o = jnp.sum(xyz_o * lk[:, :3], axis=1) + lk[:, 3]
+        in_proc = lk[:, 5] > 0.5
+        peeled = jnp.zeros(npoints, bool)
+        for it in range(len(vpf_tables)):
+            c0 = 6 + 5 * it
+            dist_v = jnp.sum(xyz_o * lk[:, c0 : c0 + 3], axis=1) + lk[:, c0 + 3]
+            peeled = peeled | (
+                (lk[:, c0 + 4] > 0.5) & (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
+            )
+        ground = (
+            in_proc
+            & ~peeled
+            & (dist_o < jnp.float32(p.th_dist))
+            & (lk[:, 4] > 0.5)
+        )
+
+        result = FrameResult(
+            ground_mask=ground,
+            num_ground=comm.reduce_patches(jnp.sum(ground).astype(jnp.int32)),
+            patch_mean=mean[:npz],
+            patch_normal=normal[:npz],
+            patch_svals=svals[:npz],
+            patch_processed=processed[:npz],
+        )
+        return new_state, result
 
     def frame(state: AdaptiveState, points: jnp.ndarray, npts: jnp.ndarray):
         points = points.astype(jnp.float32)
@@ -326,113 +446,84 @@ def make_frame_fn(
             )  # signed test (:525)
             carry, g_count = _fit_planes(carry, sp, q, g_f, processed, shift_tab, comm)
 
-        # ---- A-GLE cascade (C10, reference :214-288) ----
-        uprightness = carry.normal[:, 2]
-        elevation = carry.mean[:, 2]
-        flatness = carry.svals[:, 2]
-        sv0, sv1 = carry.svals[:, 0], carry.svals[:, 1]
-        line_variable = jnp.where(sv1 != 0, sv0 / sv1, _F32_MAX)
-        heading = jnp.sum(carry.mean * carry.normal, axis=-1)
-
-        is_upright = uprightness > jnp.float32(p.uprightness_thr)
-        is_near = cring_tab < p.num_rings_of_interest
-        ring_idx = jnp.minimum(cring_tab, p.num_rings_of_interest - 1)
-        is_not_elevated = is_near & (elevation < state.elevation_thr[ring_idx])
-        is_flat = is_near & (flatness < state.flatness_thr[ring_idx])
-        heading_out = heading < 0.0
-
-        accept = processed & is_upright & is_not_elevated & is_near
-        ground_patch = (
-            processed
-            & is_upright
-            & (~is_near | (heading_out & (is_not_elevated | is_flat)))
-        )
-        candidate = (
-            processed
-            & is_upright
-            & is_near
-            & heading_out
-            & ~is_not_elevated
-            & ~is_flat
+        return _finalize(
+            state, carry.normal, carry.mean, carry.svals, carry.n, g_count,
+            processed, proc_f, final_plane_tab, vpf_tables, pid_o, xyz_o,
+            points.shape[0],
         )
 
-        # ---- TGR per ring of interest (C12, reference :291-304, :402-464).
-        # ringwise_flatness is only flushed on rings that actually had
-        # candidates, so accepted flatness can span several rings (quirk).
-        n_roi = p.num_rings_of_interest
-        w = tables.max_ring_patches
-        ring_flat = jnp.zeros((n_roi, w), jnp.float32)
-        ring_acc = jnp.zeros((n_roi, w), bool)
-        ring_cand = jnp.zeros((n_roi, w), bool)
-        ring_elev = jnp.zeros((n_roi, w), jnp.float32)
-        for ci, (a, b) in enumerate(tables.ring_slices):
-            s = b - a
-            ring_flat = ring_flat.at[ci, :s].set(flatness[a:b])
-            ring_acc = ring_acc.at[ci, :s].set(accept[a:b])
-            ring_cand = ring_cand.at[ci, :s].set(candidate[a:b])
-            ring_elev = ring_elev.at[ci, :s].set(elevation[a:b])
+    def frame_fused(state: AdaptiveState, points: jnp.ndarray, npts: jnp.ndarray):
+        from patchworkpp_tpu.ops.tiled import build_tiled
+        from patchworkpp_tpu.ops.pallas import fit_kernel as fk
 
-        revert_patch = jnp.zeros(SPAD, bool)
-        if p.enable_TGR:
-            flush_from = jnp.int32(0)
-            ring_ids = jnp.arange(n_roi, dtype=jnp.int32)
-            for ci, (a, b) in enumerate(tables.ring_slices):
-                include = (ring_ids >= flush_from) & (ring_ids <= ci)
-                m = ring_acc & include[:, None]
-                mean_f, stdev_f, _ = _masked_mean_stdev(ring_flat, m)
-                mu = mean_f + 1.5 * stdev_f
-                F = flatness[a:b]
-                prob_flat = 1.0 / (1.0 + jnp.exp((F - mu) / (mu / 10.0)))
-                big_flat = (g_count[a:b] > 1500) & (
-                    F < jnp.float32(p.th_dist * p.th_dist)
-                )
-                prob_flat = jnp.where(big_flat, 1.0, prob_flat)
-                prob_line = jnp.where(line_variable[a:b] > 8.0, 0.0, 1.0)
-                revert = candidate[a:b] & (prob_line * prob_flat > 0.5)
-                revert_patch = revert_patch.at[a:b].set(revert)
-                has_cand = jnp.any(candidate[a:b])
-                flush_from = jnp.where(has_cand, jnp.int32(ci + 1), flush_from)
+        points = points.astype(jnp.float32)
+        npts = jnp.asarray(npts, jnp.int32)
 
-        # ---- adaptive threshold update (C11, reference :338-375) ----
-        new_state = _update_state(state, p, ring_acc, ring_elev, ring_flat)
+        bins = bin_points(points, npts, state.sensor_height, p, geom)
+        pid_o = bins.patch_id
+        xyz_o = points[:, :3]
 
-        # ---- per-point labels, computed directly in ORIGINAL order (C13).
-        # Replays the peel tests and the final distance test against the saved
-        # per-patch plane tables — no inverse-permutation scatter.
-        patch_ground_f = jnp.where(ground_patch | revert_patch, 1.0, 0.0)
-        label_tab = jnp.concatenate(
-            [final_plane_tab, jnp.stack([patch_ground_f, proc_f], axis=1)]
-            + vpf_tables,
+        tp = build_tiled(xyz_o, pid_o)
+        counts = tp.counts
+        processed = (counts >= p.num_min_pts) & (sid < npz)
+        proc_f = jnp.where(processed, 1.0, 0.0)
+
+        nt = tp.xyz.shape[0] // 128
+        xs = tp.xyz[:, 0].reshape(nt, 128)
+        ys = tp.xyz[:, 1].reshape(nt, 128)
+        zs = tp.xyz[:, 2].reshape(nt, 128)
+        valid_f = tp.valid.astype(jnp.float32).reshape(nt, 128)
+        tile_patch = jnp.minimum(tp.tile_patch, SPAD - 1).reshape(nt, 1)
+
+        gates = jnp.concatenate(
+            [proc_f[:, None], shift_tab, jnp.zeros((SPAD, 4), jnp.float32)],
             axis=1,
         )
-        lk = patch_lookup(label_tab, pid_o)
-        dist_o = jnp.sum(xyz_o * lk[:, :3], axis=1) + lk[:, 3]
-        in_proc = lk[:, 5] > 0.5
-        peeled = jnp.zeros(points.shape[0], bool)
-        for it in range(len(vpf_tables)):
-            c0 = 6 + 5 * it
-            dist_v = jnp.sum(xyz_o * lk[:, c0 : c0 + 3], axis=1) + lk[:, c0 + 3]
-            peeled = peeled | (
-                (lk[:, c0 + 4] > 0.5) & (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
-            )
-        ground = (
-            in_proc
-            & ~peeled
-            & (dist_o < jnp.float32(p.th_dist))
-            & (lk[:, 4] > 0.5)
+        margin_thr = (
+            jnp.float32(p.adaptive_seed_selection_margin) * state.sensor_height
+        )
+        consts = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(margin_thr)
+
+        out = fk.fused_fit(
+            xs, ys, zs, valid_f, tile_patch, gates, consts,
+            params=p, num_zone0_patches=tables.num_zone0, interpret=interpret,
         )
 
-        result = FrameResult(
-            ground_mask=ground,
-            num_ground=comm.reduce_patches(jnp.sum(ground).astype(jnp.int32)),
-            patch_mean=carry.mean[:npz],
-            patch_normal=carry.normal[:npz],
-            patch_svals=carry.svals[:npz],
-            patch_processed=processed[:npz],
+        normal = out[:, fk.OUT_NORMAL : fk.OUT_NORMAL + 3]
+        d = out[:, fk.OUT_D]
+        mean = out[:, fk.OUT_MEAN : fk.OUT_MEAN + 3]
+        n_carry = out[:, fk.OUT_N]
+        g_count = out[:, fk.OUT_GCOUNT]
+        cov6 = out[:, fk.OUT_COV : fk.OUT_COV + 6]
+        cov = jnp.stack(
+            [
+                jnp.stack([cov6[:, 0], cov6[:, 1], cov6[:, 2]], axis=-1),
+                jnp.stack([cov6[:, 1], cov6[:, 3], cov6[:, 4]], axis=-1),
+                jnp.stack([cov6[:, 2], cov6[:, 4], cov6[:, 5]], axis=-1),
+            ],
+            axis=-2,
         )
-        return new_state, result
+        svals, _ = eigh3x3_descending(cov)
 
-    return frame
+        # Per-iteration R-VPF snapshots: kernel layout [gate,nx,ny,nz,d] ->
+        # label-pass layout [nx,ny,nz,d,gate].
+        vpf_tables = []
+        if p.enable_RVPF:
+            for it in range(p.num_iter):
+                a = fk.OUT_SNAP + it * 5
+                snap = out[:, a : a + 5]
+                vpf_tables.append(
+                    jnp.concatenate([snap[:, 1:5], snap[:, 0:1]], axis=1)
+                )
+        final_plane_tab = out[:, fk.OUT_CARRY2 : fk.OUT_CARRY2 + 4]
+
+        return _finalize(
+            state, normal, mean, svals, n_carry, g_count, processed, proc_f,
+            final_plane_tab, vpf_tables, pid_o, xyz_o, points.shape[0],
+        )
+
+    return frame_fused if fused else frame
+
 
 
 def _append_ring(buf, cnt, vals, acc_mask, max_storage, do_trim):
