@@ -50,12 +50,14 @@ class PatchworkPP:
         params: Optional[Params] = None,
         capacity: Optional[int] = None,
         device: Optional[jax.Device] = None,
+        fused: Optional[bool] = None,
     ) -> None:
         self.params = params or Params()
         self.geom = CZMGeometry.create(self.params)
         self._fns = {}  # (enable_rnr, capacity) -> jitted frame fn
         self._fixed_capacity = capacity
         self._device = device
+        self._fused = fused
         self.state = init_state(self.params)
         self.last_result: Optional[FrameResult] = None
 
@@ -84,7 +86,7 @@ class PatchworkPP:
             p = self.params if enable_rnr == self.params.enable_RNR else (
                 self.params.replace(enable_RNR=enable_rnr)
             )
-            fn = jax.jit(make_frame_fn(p, self.geom))
+            fn = jax.jit(make_frame_fn(p, self.geom, fused=self._fused))
             self._fns[key] = fn
         return fn
 
@@ -117,6 +119,11 @@ class PatchworkPP:
 
         self.state = new_state
         self.last_result = res
+        if self.params.verbose:
+            print(
+                f"patchworkpp_tpu: {n} pts -> {int(res.num_ground)} ground "
+                f"in {dt * 1e3:.2f} ms (sensor_height={self.sensor_height:.4f})"
+            )
 
         mask = np.asarray(res.ground_mask)[:n]
         gi = np.flatnonzero(mask).astype(np.int32)
