@@ -245,8 +245,10 @@ def make_frame_fn(
     comm = comm or FrameComm()
     if fused is None:
         # The fused kernel is opt-in until its Mosaic compile time on the
-        # tunneled TPU is characterized (see ops/pallas/fit_kernel.py).
+        # tunneled TPU is characterized (see ops/pallas/fit_kernel*.py).
         fused = False
+    if fused is True:
+        fused = "scan"
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
 
@@ -484,10 +486,27 @@ def make_frame_fn(
         )
         consts = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(margin_thr)
 
-        out = fk.fused_fit(
-            xs, ys, zs, valid_f, tile_patch, gates, consts,
-            params=p, num_zone0_patches=tables.num_zone0, interpret=interpret,
-        )
+        if fused == "onehot":
+            out = fk.fused_fit(
+                xs, ys, zs, valid_f, tile_patch, gates, consts,
+                params=p, num_zone0_patches=tables.num_zone0,
+                interpret=interpret,
+            )
+        else:  # "scan" (default fused mode)
+            from patchworkpp_tpu.ops.pallas import fit_kernel_scan as fks
+            from patchworkpp_tpu.ops.tiled import TILE
+
+            gates_t = patch_lookup(gates, tile_patch[:, 0])  # (NT, 8)
+            out_t = fks.fused_fit_scan(
+                xs, ys, zs, valid_f, tile_patch, gates_t, consts,
+                params=p, num_zone0_patches=tables.num_zone0,
+                interpret=interpret,
+            )
+            head = jnp.clip(
+                (tp.pad_start[:SPAD] // TILE).astype(jnp.int32), 0, nt - 1
+            )
+            out = out_t[head]
+            out = jnp.where(counts[:, None] > 0, out, 0.0)
 
         normal = out[:, fk.OUT_NORMAL : fk.OUT_NORMAL + 3]
         d = out[:, fk.OUT_D]

@@ -79,3 +79,18 @@ def test_fused_interpret_sequential_state(scans):
         ref = oracle.estimate_ground(cloud)
         mism = int((np.asarray(res.ground_mask)[: len(cloud)] != ref).sum())
         assert mism == 0, f"{name}: {mism} mismatches"
+
+
+def test_fused_onehot_variant_matches_oracle(scans):
+    """The alternative one-hot in-kernel movement path (fused="onehot")."""
+    cloud = scans["000003"][::SUB]
+    padded = np.zeros((CAP, 4), np.float32)
+    padded[: len(cloud)] = cloud
+    params = Params()
+    fn = jax.jit(make_frame_fn(params, fused="onehot", interpret=True))
+    st, res = fn(init_state(params), jnp.asarray(padded), jnp.int32(len(cloud)))
+    ref = NumpyPatchworkpp().estimate_ground(cloud)
+    mism = int((np.asarray(res.ground_mask)[: len(cloud)] != ref).sum())
+    # The one-hot variant's HIGHEST-precision MXU reductions can flip a
+    # point sitting exactly on a threshold (observed: 1/7.8k on this scan).
+    assert mism <= 2
