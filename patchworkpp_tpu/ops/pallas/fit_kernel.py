@@ -122,15 +122,17 @@ def _seg_scan_sum(vals, heads):
 
 
 def _lane_prefix_exclusive(m):
-    """Exclusive prefix sum along lanes of (R, 128) f32 (7 shifted adds)."""
-    acc = m
-    for sh in (1, 2, 4, 8, 16, 32, 64):
-        rolled = pltpu.roll(acc, sh, 1)
-        ok = (
-            jax.lax.broadcasted_iota(jnp.int32, m.shape, 1) >= sh
-        ).astype(jnp.float32)
-        acc = acc + rolled * ok
-    return acc - m
+    """Exclusive prefix sum along lanes of (R, 128) f32.
+
+    One strictly-lower-triangular matmul — lane-axis rolls lower to
+    pathologically slow Mosaic compiles at full NT, the MXU form compiles in
+    ~1 s and is exact (small-integer counts, f32 accumulation).
+    """
+    lanes = m.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    lt = (row < col).astype(jnp.float32)
+    return jnp.dot(m, lt, preferred_element_type=jnp.float32)
 
 
 def _smallest_eig(cxx, cxy, cxz, cyy, cyz, czz, iters: int = 10):

@@ -1,22 +1,24 @@
-"""Scan-based fused fit kernel: no one-hot, all movement via segmented scans.
+"""Segment-matrix fused fit kernel: no one-hot, no rolls.
 
-Mosaic compile of the one-hot variant (fit_kernel.py) is pathological: the
-in-kernel (NT, 512) one-hot build + dot alone compiles for >9 minutes. This
-variant removes patch-indexed data movement entirely:
+Mosaic compile pathologies found by bisection: the in-kernel (NT, 512)
+one-hot build + dot compiles >9 min; a single backward segmented fill via
+sublane rolls ~6.6 min; lane-axis rolls minutes. This variant therefore does
+ALL cross-tile movement as MXU dots against a precomputed strictly-lower
+same-segment matrix L ((NT, NT) bf16 0/1, built in XLA from tile_patch):
 
-- every per-patch quantity lives as a per-tile-replicated (NT, C) array
-  (tiles of a patch are consecutive after the tiled sort, ops/tiled.py);
-- per-tile -> per-patch reduction = forward segmented prefix scan (head
-  flags where tile_patch changes), totals landing on each patch's tail tile;
-- per-patch -> per-tile broadcast = backward segmented fill from tail tiles;
-- the plane fit (Newton smallest-eigenvalue + cross-product normal, see
-  fit_kernel.py) is computed redundantly on every tile row — trivial VPU
-  work — so no gather is ever needed;
-- the final (512, C) patch table is extracted OUTSIDE the kernel by
-  gathering each patch's head-tile row (a tiny XLA op).
+- per-tile -> per-patch totals broadcast to every row: (L + L^T + I) @ v;
+- the LPR quota's exclusive tile prefix: L @ m;
+- in-tile lane prefix: one strictly-lower-triangular (128,128) matmul;
+- per-patch quantities live per-tile-replicated (NT, C); the plane fit
+  (Newton smallest-eigenvalue + cross-product normal, see fit_kernel.py)
+  is computed redundantly per tile row; the final (512, C) patch table is a
+  head-row gather outside the kernel.
 
-Semantics are identical to fit_kernel.py (same pass program, same reference
-quirks); both validate exactly against the NumPy oracle in interpret mode.
+Movement is exact: L is 0/1 (exact bf16) and f32 payloads go through the
+bf16x3 split. Semantics are identical to fit_kernel.py; both validate
+exactly against the NumPy oracle in interpret mode. Whole-kernel Mosaic
+compile still exceeds 40 min unrolled — the grid-ified variant
+(fit_kernel_grid.py) compiles each pass KIND once instead.
 """
 
 from __future__ import annotations
@@ -47,54 +49,50 @@ from patchworkpp_tpu.ops.pallas.fit_kernel import (
 LANE = 128
 
 
-def _levels(nt: int):
-    sh, out = 1, []
-    while sh < nt:
-        out.append(sh)
-        sh *= 2
+def _split3(x):
+    """f32 -> three bf16 terms summing back to x to ~2^-24 relative.
+
+    The segment matrix is exactly bf16 (0/1), so three single-pass bf16 dots
+    move f32 values through it bit-faithfully (cf. factored_kernels)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    r2 = r1 - mid.astype(jnp.float32)
+    return hi, mid, r2.astype(jnp.bfloat16)
+
+
+def _seg_dots(lb, v, transpose: bool):
+    """out[t] = sum_u L[t,u] * v[u] (or L[u,t] with transpose=True).
+
+    Mosaic compiles sublane rolls pathologically (a single backward
+    segmented fill: ~6.6 min), so all cross-tile movement is MXU dots
+    against the precomputed strictly-lower same-segment matrix ``lb``
+    ((NT, NT) bf16 0/1, built in XLA from tile_patch). ``v`` is (NT, C) f32,
+    moved exactly via the bf16x3 split.
+    """
+    contract = 0 if transpose else 1
+    dims = (((contract,), (0,)), ((), ()))
+    out = None
+    for part in _split3(v):
+        d = jax.lax.dot_general(
+            lb, part, dims, preferred_element_type=jnp.float32
+        )
+        out = d if out is None else out + d
     return out
 
 
-def _seg_scan_fwd(v, heads, nt):
-    """Inclusive segmented prefix sum along tile rows; (NT, C) channels."""
-    f = heads
-    for sh in _levels(nt):
-        v_s = pltpu.roll(v, sh, 0)
-        f_s = pltpu.roll(f, sh, 0)
-        first = (
-            jax.lax.broadcasted_iota(jnp.int32, f.shape, 0) < sh
-        ).astype(jnp.float32)
-        blocked = jnp.maximum(f, first)
-        v = v + v_s * (1.0 - blocked)
-        f = jnp.maximum(f, f_s * (1.0 - first))
-    return v
+def _prior_exclusive(lb, v):
+    """Exclusive segmented prefix over tiles: prior[t] = sum_{u<t, same seg} v[u]."""
+    return _seg_dots(lb, v, transpose=False)
 
 
-def _seg_fill_tail(v, tails, nt):
-    """Backward segmented fill: every row receives its segment-tail row's v.
-
-    ``v`` must already hold the desired value on tail rows. Mirrored
-    Hillis-Steele: pull from below (roll up) unless this row is a tail or a
-    tail lies between.
-    """
-    f = tails
-    for sh in _levels(nt):
-        up = nt - sh  # roll by -sh
-        v_s = pltpu.roll(v, up, 0)
-        f_s = pltpu.roll(f, up, 0)
-        last = (
-            jax.lax.broadcasted_iota(jnp.int32, f.shape, 0) >= nt - sh
-        ).astype(jnp.float32)
-        blocked = jnp.maximum(f, last)
-        v = v * blocked + v_s * (1.0 - blocked)
-        f = jnp.maximum(f, f_s * (1.0 - last))
-    return v
-
-
-def _patch_total(per_tile, heads, tails, nt):
-    """(NT, C) per-tile partials -> (NT, C) per-patch totals on every row."""
-    incl = _seg_scan_fwd(per_tile, heads, nt)
-    return _seg_fill_tail(incl, tails, nt)
+def _patch_total_mat(lb, v):
+    """Per-patch totals broadcast to every tile row: (L + L^T + I) @ v."""
+    return (
+        _seg_dots(lb, v, transpose=False)
+        + _seg_dots(lb, v, transpose=True)
+        + v
+    )
 
 
 def make_fit_kernel_scan(params: Params, nt: int, num_zone0_patches: int):
@@ -103,21 +101,15 @@ def make_fit_kernel_scan(params: Params, nt: int, num_zone0_patches: int):
     num_lpr = float(p.num_lpr)
 
     def kernel(
-        xs_ref, ys_ref, zs_ref, val_ref, tp_ref, gates_t_ref, consts_ref,
+        xs_ref, ys_ref, zs_ref, val_ref, tp_ref, lb_ref, gates_t_ref,
+        consts_ref,
         out_ref,
         active_ref, plane_ref, alive_ref, lpr_ref, snap_ref, quota_ref,
     ):
         margin_thr = consts_ref[0, 0]
 
         tp = tp_ref[:]                       # (NT, 1) int32
-        heads = jnp.concatenate(
-            [jnp.ones((1, 1), jnp.float32),
-             (tp[1:] != tp[:-1]).astype(jnp.float32)],
-            axis=0,
-        )
-        tails = jnp.concatenate(
-            [heads[1:], jnp.ones((1, 1), jnp.float32)], axis=0
-        )
+        lb = lb_ref[:]                       # (NT, NT) bf16 same-seg strict-lower
         zone0_t = (tp < num_zone0_patches).astype(jnp.float32)
         proc_t = gates_t_ref[:, 0:1]        # (NT,1) processed
         sx = gates_t_ref[:, 1:2]
@@ -149,7 +141,7 @@ def make_fit_kernel_scan(params: Params, nt: int, num_zone0_patches: int):
                 ],
                 axis=1,
             )
-            return _patch_total(per_tile, heads, tails, nt)  # (NT,10)
+            return _patch_total_mat(lb, per_tile)  # (NT,10)
 
         def run_fit(momp, gate_t):
             n = momp[:, 0:1]
@@ -192,9 +184,9 @@ def make_fit_kernel_scan(params: Params, nt: int, num_zone0_patches: int):
                     act = act * (1.0 - hit)
                     active_ref[:] = act
                 m_t = jnp.sum(elig_of(act), axis=1, keepdims=True)
-                incl = _seg_scan_fwd(m_t, heads, nt)
+                prior = _prior_exclusive(lb, m_t)
                 quota_ref[:] = jnp.clip(
-                    jnp.float32(num_lpr) - (incl - m_t), 0.0, None
+                    jnp.float32(num_lpr) - prior, 0.0, None
                 )
 
             elif ps.kind == "lprsum":
@@ -208,7 +200,7 @@ def make_fit_kernel_scan(params: Params, nt: int, num_zone0_patches: int):
                     ],
                     axis=1,
                 )
-                tot = _patch_total(per_tile, heads, tails, nt)
+                tot = _patch_total_mat(lb, per_tile)
                 cnt = tot[:, 1:2]
                 lpr_ref[:] = jnp.where(
                     cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0
@@ -292,11 +284,19 @@ def fused_fit_scan(
       outside the kernel for the (512, 48) patch table.
     """
     nt = xs.shape[0]
+    # Strictly-lower same-segment matrix (exact 0/1 in bf16), built in XLA.
+    tpc = tile_patch[:, 0]
+    same = tpc[:, None] == tpc[None, :]
+    lower = (
+        jnp.arange(nt, dtype=jnp.int32)[:, None]
+        > jnp.arange(nt, dtype=jnp.int32)[None, :]
+    )
+    lb = (same & lower).astype(jnp.bfloat16)
     kernel = make_fit_kernel_scan(params, nt, num_zone0_patches)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nt, OUT_COLS), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nt, LANE), jnp.float32),  # active
@@ -307,4 +307,4 @@ def fused_fit_scan(
             pltpu.VMEM((nt, 1), jnp.float32),     # LPR quota per tile
         ],
         interpret=interpret,
-    )(xs, ys, zs, valid_f, tile_patch, gates_t, consts)
+    )(xs, ys, zs, valid_f, tile_patch, lb, gates_t, consts)
