@@ -1,0 +1,305 @@
+"""Grid-ified fused fit kernel: the pass program runs as the Pallas grid.
+
+The unrolled fused kernels (fit_kernel.py, fit_kernel_scan.py) are
+semantically complete and oracle-exact, but Mosaic compiles their ~11
+unrolled passes for >40 minutes on this toolchain. Here each grid step
+executes ONE pass, and the body contains each pass *kind* exactly once —
+compiled code size is independent of the number of passes:
+
+  grid = (len(pass_program),)
+  kind/config per pass arrive as scalar-prefetch arrays (SMEM), with f32
+  thresholds shipped bit-exactly as int32 views.
+
+Movement follows fit_kernel_scan.py (segment-matrix MXU dots, in-tile lane
+prefix as a triangular matmul); all state (active mask, plane carry, alive,
+LPR quota, snapshots) lives in VMEM scratch that persists across grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from patchworkpp_tpu.params import Params
+from patchworkpp_tpu.ops.pallas.fit_kernel import (
+    OUT_CARRY2,
+    OUT_COLS,
+    OUT_COV,
+    OUT_D,
+    OUT_GCOUNT,
+    OUT_MEAN,
+    OUT_N,
+    OUT_NORMAL,
+    OUT_SNAP,
+    _lane_prefix_exclusive,
+    _plane_from_cov,
+    build_pass_program,
+)
+from patchworkpp_tpu.ops.pallas.fit_kernel_scan import (
+    _patch_total_mat,
+    _prior_exclusive,
+)
+
+LANE = 128
+K_COUNT, K_LPRSUM, K_FITSEED, K_FITDIST = 0, 1, 2, 3
+
+
+def _pass_config(p: Params):
+    passes = build_pass_program(p)
+    kind_map = {"count": K_COUNT, "lprsum": K_LPRSUM,
+                "fitseed": K_FITSEED, "fitdist": K_FITDIST}
+    kind = np.array([kind_map[ps.kind] for ps in passes], np.int32)
+    peel = np.array([ps.peel_snap for ps in passes], np.int32)
+    snap = np.array([ps.snap_slot for ps in passes], np.int32)
+    gate_alive = np.array([int(ps.gate_alive) for ps in passes], np.int32)
+    final = np.array([int(ps.is_final) for ps in passes], np.int32)
+    th_arr = np.array([ps.th for ps in passes], np.float32)
+    return len(passes), kind, peel, snap, gate_alive, final, th_arr
+
+
+def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
+    p = params
+
+    def kernel(
+        # scalar-prefetch (SMEM):
+        kind_ref, peel_ref, snapslot_ref, gatea_ref, final_ref, thbits_ref,
+        # VMEM inputs:
+        xs_ref, ys_ref, zs_ref, val_ref, tp_ref, lb_ref, gates_t_ref,
+        consts_ref,
+        # output:
+        out_ref,
+        # scratch:
+        active_ref, plane_ref, alive_ref, lpr_ref, snap_ref, quota_ref,
+        mask_ref,
+    ):
+        phase = pl.program_id(0)
+        kind = kind_ref[phase]
+        margin_thr = consts_ref[0, 0]
+        th = thbits_ref[phase]
+
+        tp = tp_ref[:]
+        lb = lb_ref[:]
+        zone0_t = (tp < num_zone0_patches).astype(jnp.float32)
+        proc_t = gates_t_ref[:, 0:1]
+        sx = gates_t_ref[:, 1:2]
+        sy = gates_t_ref[:, 2:3]
+        sz = gates_t_ref[:, 3:4]
+
+        @pl.when(phase == 0)
+        def _():
+            active_ref[:] = val_ref[:] * proc_t
+            plane_ref[:] = jnp.zeros((nt, 16), jnp.float32)
+            alive_ref[:] = proc_t
+            snap_ref[:] = jnp.zeros((nt, 16), jnp.float32)
+
+        def elig_of(act):
+            return act * jnp.where(
+                (zone0_t > 0.5) & (zs_ref[:] < margin_thr), 0.0, 1.0
+            )
+
+        # ---- kind: COUNT (optional peel, then LPR quota) ----
+        @pl.when(kind == K_COUNT)
+        def _():
+            act = active_ref[:]
+            peel_slot = peel_ref[phase]
+            for slot in range(3):
+                @pl.when(peel_slot == slot)
+                def _():
+                    snap = snap_ref[:, slot * 5 : slot * 5 + 5]
+                    dist = (
+                        xs_ref[:] * snap[:, 1:2] + ys_ref[:] * snap[:, 2:3]
+                        + zs_ref[:] * snap[:, 3:4] + snap[:, 4:5]
+                    )
+                    hit = (
+                        (snap[:, 0:1] > 0.5)
+                        & (jnp.abs(dist) < jnp.float32(p.th_dist_v))
+                    ).astype(jnp.float32)
+                    active_ref[:] = active_ref[:] * (1.0 - hit)
+            act = active_ref[:]
+            m_t = jnp.sum(elig_of(act), axis=1, keepdims=True)
+            prior = _prior_exclusive(lb, m_t)
+            quota_ref[:] = jnp.clip(jnp.float32(p.num_lpr) - prior, 0.0, None)
+
+        # ---- kind: LPRSUM ----
+        @pl.when(kind == K_LPRSUM)
+        def _():
+            elig = elig_of(active_ref[:])
+            rank = _lane_prefix_exclusive(elig)
+            take = elig * (rank < quota_ref[:]).astype(jnp.float32)
+            per_tile = jnp.concatenate(
+                [
+                    jnp.sum(zs_ref[:] * take, axis=1, keepdims=True),
+                    jnp.sum(take, axis=1, keepdims=True),
+                ],
+                axis=1,
+            )
+            tot = _patch_total_mat(lb, per_tile)
+            cnt = tot[:, 1:2]
+            lpr_ref[:] = jnp.where(
+                cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0
+            )
+
+        # ---- fit mask construction (seed or dist) ----
+        gate_t = jnp.where(gatea_ref[phase] > 0, alive_ref[:], proc_t)
+
+        @pl.when(kind == K_FITSEED)
+        def _():
+            mask_ref[:] = (
+                active_ref[:]
+                * (zs_ref[:] < lpr_ref[:] + th).astype(jnp.float32)
+                * (gate_t > 0.5)
+            )
+
+        @pl.when(kind == K_FITDIST)
+        def _():
+            pr = plane_ref[:]
+            @pl.when(final_ref[phase] > 0)
+            def _():
+                out_ref[:, OUT_CARRY2:OUT_CARRY2 + 4] = pr[:, 0:4]
+            dist = (
+                xs_ref[:] * pr[:, 0:1] + ys_ref[:] * pr[:, 1:2]
+                + zs_ref[:] * pr[:, 2:3] + pr[:, 3:4]
+            )
+            mask_ref[:] = active_ref[:] * (dist < th).astype(jnp.float32)
+
+        # ---- shared: moments + fit + snapshot (FITSEED | FITDIST) ----
+        @pl.when((kind == K_FITSEED) | (kind == K_FITDIST))
+        def _():
+            mask = mask_ref[:]
+            qx = xs_ref[:] - sx
+            qy = ys_ref[:] - sy
+            qz = zs_ref[:] - sz
+            per_tile = jnp.concatenate(
+                [
+                    jnp.sum(f, axis=1, keepdims=True)
+                    for f in (
+                        mask, qx * mask, qy * mask, qz * mask,
+                        qx * qx * mask, qx * qy * mask, qx * qz * mask,
+                        qy * qy * mask, qy * qz * mask, qz * qz * mask,
+                    )
+                ],
+                axis=1,
+            )
+            momp = _patch_total_mat(lb, per_tile)  # (NT, 10)
+
+            @pl.when((kind == K_FITDIST) & (final_ref[phase] > 0))
+            def _():
+                out_ref[:, OUT_GCOUNT:OUT_GCOUNT + 1] = momp[:, 0:1]
+
+            n = momp[:, 0:1]
+            safe_n = jnp.maximum(n, 1.0)
+            mqx = momp[:, 1:2] / safe_n
+            mqy = momp[:, 2:3] / safe_n
+            mqz = momp[:, 3:4] / safe_n
+            denom = n - 1.0
+            cxx = (momp[:, 4:5] - n * mqx * mqx) / denom
+            cxy = (momp[:, 5:6] - n * mqx * mqy) / denom
+            cxz = (momp[:, 6:7] - n * mqx * mqz) / denom
+            cyy = (momp[:, 7:8] - n * mqy * mqy) / denom
+            cyz = (momp[:, 8:9] - n * mqy * mqz) / denom
+            czz = (momp[:, 9:10] - n * mqz * mqz) / denom
+            nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
+            mx, my, mz = mqx + sx, mqy + sy, mqz + sz
+            d = -(nx * mx + ny * my + nz * mz)
+            upd = (gate_t > 0.5) & (n > 0)
+            old = plane_ref[:]
+            new = jnp.concatenate(
+                [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my, mz,
+                 old[:, 14:16] * 0],
+                axis=1,
+            )
+            plane_ref[:] = jnp.where(upd, new, old)
+
+            snap_slot = snapslot_ref[phase]
+            for slot in range(3):
+                @pl.when(snap_slot == slot)
+                def _():
+                    pr2 = plane_ref[:]
+                    vert = (
+                        (alive_ref[:] > 0.5)
+                        & (zone0_t > 0.5)
+                        & (pr2[:, 2:3] < jnp.float32(p.uprightness_thr))
+                    ).astype(jnp.float32)
+                    snap_ref[:, slot * 5 : slot * 5 + 5] = jnp.concatenate(
+                        [vert, pr2[:, 0:4]], axis=1
+                    )
+                    alive_ref[:] = vert
+
+        # ---- final output assembly on the last pass ----
+        @pl.when(phase == pl.num_programs(0) - 1)
+        def _():
+            pr = plane_ref[:]
+            out_ref[:, OUT_NORMAL:OUT_NORMAL + 3] = pr[:, 0:3]
+            out_ref[:, OUT_D:OUT_D + 1] = pr[:, 3:4]
+            out_ref[:, OUT_MEAN:OUT_MEAN + 3] = pr[:, 11:14]
+            out_ref[:, OUT_N:OUT_N + 1] = pr[:, 4:5]
+            out_ref[:, OUT_COV:OUT_COV + 6] = pr[:, 5:11]
+            out_ref[:, OUT_SNAP:OUT_SNAP + 15] = snap_ref[:, 0:15]
+            out_ref[:, 35:OUT_COLS] = jnp.zeros((nt, OUT_COLS - 35), jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "num_zone0_patches", "interpret")
+)
+def fused_fit_grid(
+    xs, ys, zs, valid_f, tile_patch, gates_t, consts,
+    params: Params,
+    num_zone0_patches: int,
+    interpret: bool = False,
+):
+    """Grid-ified fused fit loop (see fused_fit_scan for argument shapes)."""
+    nt = xs.shape[0]
+    npasses, kind, peel, snap, gate_alive, final, th_arr = _pass_config(params)
+
+    tpc = tile_patch[:, 0]
+    same = tpc[:, None] == tpc[None, :]
+    lower = (
+        jnp.arange(nt, dtype=jnp.int32)[:, None]
+        > jnp.arange(nt, dtype=jnp.int32)[None, :]
+    )
+    lb = (same & lower).astype(jnp.bfloat16)
+
+    kernel = make_fit_kernel_grid(params, nt, num_zone0_patches)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(npasses,),
+        in_specs=[
+            pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, nt), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nt, OUT_COLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nt, LANE), jnp.float32),  # active
+            pltpu.VMEM((nt, 16), jnp.float32),    # plane carry
+            pltpu.VMEM((nt, 1), jnp.float32),     # alive
+            pltpu.VMEM((nt, 1), jnp.float32),     # lpr
+            pltpu.VMEM((nt, 16), jnp.float32),    # snapshots
+            pltpu.VMEM((nt, 1), jnp.float32),     # quota
+            pltpu.VMEM((nt, LANE), jnp.float32),  # fit mask
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, OUT_COLS), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(kind), jnp.asarray(peel), jnp.asarray(snap),
+        jnp.asarray(gate_alive), jnp.asarray(final), jnp.asarray(th_arr),
+        xs, ys, zs, valid_f, tile_patch, lb, gates_t, consts,
+    )

@@ -248,7 +248,7 @@ def make_frame_fn(
         # tunneled TPU is characterized (see ops/pallas/fit_kernel*.py).
         fused = False
     if fused is True:
-        fused = "scan"
+        fused = "grid"
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
 
@@ -492,12 +492,14 @@ def make_frame_fn(
                 params=p, num_zone0_patches=tables.num_zone0,
                 interpret=interpret,
             )
-        else:  # "scan" (default fused mode)
+        else:  # "grid" (default fused mode) or "scan"
             from patchworkpp_tpu.ops.pallas import fit_kernel_scan as fks
+            from patchworkpp_tpu.ops.pallas import fit_kernel_grid as fkg
             from patchworkpp_tpu.ops.tiled import TILE
 
             gates_t = patch_lookup(gates, tile_patch[:, 0])  # (NT, 8)
-            out_t = fks.fused_fit_scan(
+            runner = fks.fused_fit_scan if fused == "scan" else fkg.fused_fit_grid
+            out_t = runner(
                 xs, ys, zs, valid_f, tile_patch, gates_t, consts,
                 params=p, num_zone0_patches=tables.num_zone0,
                 interpret=interpret,
