@@ -94,3 +94,29 @@ def test_fused_onehot_variant_matches_oracle(scans):
     # The one-hot variant's HIGHEST-precision MXU reductions can flip a
     # point sitting exactly on a threshold (observed: 1/7.8k on this scan).
     assert mism <= 2
+
+
+def test_fused_grid_rvpf_off(scans):
+    """Pass program without R-VPF through the grid kernel."""
+    cloud = scans["000002"][::SUB]
+    padded = np.zeros((CAP, 4), np.float32)
+    padded[: len(cloud)] = cloud
+    p = Params(enable_RVPF=False)
+    fn = jax.jit(make_frame_fn(p, fused="grid", interpret=True))
+    st, res = fn(init_state(p), jnp.asarray(padded), jnp.int32(len(cloud)))
+    ref = NumpyPatchworkpp(p).estimate_ground(cloud)
+    mism = int((np.asarray(res.ground_mask)[: len(cloud)] != ref).sum())
+    assert mism == 0
+
+
+def test_fused_grid_no_intensity(scans):
+    """3-column cloud (RNR off) through the grid kernel."""
+    cloud = scans["000004"][::SUB, :3]
+    padded = np.zeros((CAP, 4), np.float32)
+    padded[: len(cloud), :3] = cloud
+    p = Params(enable_RNR=False)
+    fn = jax.jit(make_frame_fn(p, fused="grid", interpret=True))
+    st, res = fn(init_state(p), jnp.asarray(padded), jnp.int32(len(cloud)))
+    ref = NumpyPatchworkpp(p).estimate_ground(cloud)
+    mism = int((np.asarray(res.ground_mask)[: len(cloud)] != ref).sum())
+    assert mism == 0
