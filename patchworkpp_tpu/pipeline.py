@@ -555,12 +555,18 @@ def _append_ring(buf, cnt, vals, acc_mask, max_storage, do_trim):
     Trimming to ``max_storage`` drops the oldest (front), as erase(begin..)
     does. A safety valve trims even "frozen" rings just below capacity (the
     reference's unbounded vector can't overflow; our fixed buffer can).
+
+    Returns ``(buf_pre, buf_post, cnt_new, n_total)``: the threshold stats
+    must be computed on ``buf_pre`` over ``n_total`` entries — the reference
+    trims AFTER computing mean/stdev (patchworkpp.cpp:354-355, :372-373) —
+    while ``buf_post`` is the trimmed carry for the next frame with its tail
+    re-zeroed so the zeros-beyond-count invariant survives the roll.
     """
     w = vals.shape[0]
     order = jnp.argsort(~acc_mask, stable=True)
     vals_c = jnp.where(acc_mask[order], vals[order], 0.0)
     k = jnp.sum(acc_mask).astype(jnp.int32)
-    buf2 = jax.lax.dynamic_update_slice(buf, vals_c, (cnt,))
+    buf_pre = jax.lax.dynamic_update_slice(buf, vals_c, (cnt,))
     n_total = cnt + k
     cap = buf.shape[0]
     excess = jnp.where(
@@ -568,8 +574,11 @@ def _append_ring(buf, cnt, vals, acc_mask, max_storage, do_trim):
         jnp.maximum(n_total - max_storage, 0),
         jnp.maximum(n_total - (cap - w), 0),
     )
-    buf3 = jnp.roll(buf2, -excess)
-    return buf3, n_total - excess, n_total
+    cnt_new = n_total - excess
+    buf_post = jnp.where(
+        jnp.arange(cap) < cnt_new, jnp.roll(buf_pre, -excess), 0.0
+    )
+    return buf_pre, buf_post, cnt_new, n_total
 
 
 def _update_state(
@@ -594,12 +603,12 @@ def _update_state(
 
     # Elevation: per-ring independent ('continue' on empty).
     for i in range(n_roi):
-        buf3, cnt_new, n_total = _append_ring(
+        buf_pre, buf3, cnt_new, n_total = _append_ring(
             elev_buf[i], elev_cnt[i], ring_elev[i], ring_acc[i],
             p.max_elevation_storage, do_trim=jnp.bool_(True),
         )
         valid = iota < n_total
-        mean, stdev, _ = _masked_mean_stdev(buf3, valid)
+        mean, stdev, _ = _masked_mean_stdev(buf_pre, valid)
         # n_total==1 -> calc_mean_stdev leaves zeros -> thr=0 (and sh=-0).
         factor = 3.0 if i == 0 else 2.0
         new_thr = jnp.where(n_total > 0, mean + factor * stdev, elev_thr[i])
@@ -615,12 +624,12 @@ def _update_state(
         pre_total = flat_cnt[i] + jnp.sum(ring_acc[i]).astype(jnp.int32)
         stopped = stopped | (pre_total <= 1)
         do = ~stopped
-        buf3, cnt_new, n_total = _append_ring(
+        buf_pre, buf3, cnt_new, n_total = _append_ring(
             flat_buf[i], flat_cnt[i], ring_flat[i], ring_acc[i],
             p.max_flatness_storage, do_trim=do,
         )
         valid = iota < n_total
-        mean, stdev, _ = _masked_mean_stdev(buf3, valid)
+        mean, stdev, _ = _masked_mean_stdev(buf_pre, valid)
         flat_thr = flat_thr.at[i].set(jnp.where(do, mean + stdev, flat_thr[i]))
         flat_buf = flat_buf.at[i].set(buf3)
         flat_cnt = flat_cnt.at[i].set(cnt_new)
