@@ -1,83 +1,10 @@
-"""Benchmark: sequential ground segmentation over the 6 bundled KITTI scans.
+"""Driver benchmark shim: prints ONE JSON line (see patchworkpp_tpu/cli/bench.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Baseline: the unmodified C++ reference compiled -O3 runs 29.8 scans/s on one
-Xeon core over the same six scans (BASELINE.md). The measured configuration
-matches `demo_sequential` semantics: one engine, adaptive state carried
-across frames in order (the state chain makes every frame's execution depend
-on the previous one, so the loop measures true sequential device
-throughput). Results are held on device — a device-side accumulator of each
-frame's ground count is fetched once at the end as the synchronization
-point. (In this sandbox the TPU is tunneled; bulk D2H runs at ~2.5 MB/s and
-`block_until_ready` does not reliably block, so per-frame mask fetches would
-measure the tunnel, not the engine. On a directly-attached TPU the mask is
-a 128 KB PCIe transfer, trivially overlapped.)
+Kept at the repo root because the round driver invokes ``python bench.py``;
+the implementation lives in the package (``ppk-bench`` console script).
 """
 
-import json
-import os
-import sys
-import time
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import numpy as np
-
-BASELINE_SCANS_PER_S = 29.8
-DATA_DIR = "/root/reference/data"
-CAPACITY = 131072
-TIMED_EPOCHS = 20
-
-
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from patchworkpp_tpu import Params, init_state
-    from patchworkpp_tpu.pipeline import make_frame_fn
-
-    scans = []
-    for i in range(6):
-        pts = np.fromfile(f"{DATA_DIR}/{i:06d}.bin", np.float32).reshape(-1, 4)
-        padded = np.zeros((CAPACITY, 4), np.float32)
-        padded[: len(pts)] = pts
-        scans.append((jnp.asarray(padded), jnp.int32(len(pts))))
-
-    params = Params()
-    fn = jax.jit(make_frame_fn(params))
-    state = init_state(params)
-
-    # Warmup: compile + two full epochs; scalar fetch forces completion.
-    st = state
-    for _ in range(2):
-        for x, n in scans:
-            st, res = fn(st, x, n)
-    int(res.num_ground)
-
-    frames = 0
-    acc = jnp.int32(0)
-    t0 = time.perf_counter()
-    for _ in range(TIMED_EPOCHS):
-        for x, n in scans:
-            st, res = fn(st, x, n)
-            acc = acc + res.num_ground
-            frames += 1
-    int(acc)  # single scalar D2H: the synchronization point
-    dt = time.perf_counter() - t0
-
-    scans_per_s = frames / dt
-    print(
-        json.dumps(
-            {
-                "metric": "kitti6_seq_scans_per_s_per_chip",
-                "value": round(scans_per_s, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 2),
-            }
-        )
-    )
-
+from patchworkpp_tpu.cli.bench import main
 
 if __name__ == "__main__":
     main()

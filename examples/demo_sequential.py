@@ -1,65 +1,11 @@
-"""Sequential demo: segment the bundled KITTI scans with adapted state.
+"""Sequential multi-scan demo shim (reference: python/examples/demo_sequential.py).
 
-Mirror of the reference demo (reference: python/examples/demo_sequential.py):
-iterates the data directory in order with one engine instance so the A-GLE
-thresholds and sensor height adapt across frames, printing per-frame counts
-and timing. Open3D visualization is optional (not installed in this image).
-
-Usage: python examples/demo_sequential.py [data_dir] [--visualize]
+The implementation lives in :mod:`patchworkpp_tpu.cli.demo_sequential` so it
+is importable from the installed package (`pip install -e .`) and available
+as the ``ppk-demo-sequential`` console script.
 """
 
-import argparse
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
-
-from patchworkpp_tpu.compat import pypatchworkpp
-from patchworkpp_tpu.io import read_bin
-
-
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("data_dir", nargs="?", default="/root/reference/data")
-    ap.add_argument("--visualize", action="store_true")
-    args = ap.parse_args()
-
-    params = pypatchworkpp.Parameters()
-    params.verbose = False
-    engine = pypatchworkpp.patchworkpp(params)
-
-    names = sorted(f for f in os.listdir(args.data_dir) if f.endswith(".bin"))
-    for name in names:
-        cloud = read_bin(os.path.join(args.data_dir, name))
-        engine.estimateGround(cloud)
-        ground = engine.getGround()
-        nonground = engine.getNonground()
-        print(
-            f"{name}: {len(cloud)} pts -> {len(ground)} ground / "
-            f"{len(nonground)} nonground  "
-            f"({engine.getTimeTaken() / 1000:.1f} ms, "
-            f"sensor_height={engine.getHeight():.4f})"
-        )
-        if args.visualize:
-            _visualize(ground, nonground)
-
-
-def _visualize(ground: np.ndarray, nonground: np.ndarray) -> None:
-    try:
-        import open3d as o3d
-    except ImportError:
-        print("open3d not installed; skipping visualization")
-        return
-    g = o3d.geometry.PointCloud()
-    g.points = o3d.utility.Vector3dVector(ground)
-    g.paint_uniform_color([0.0, 1.0, 0.0])
-    n = o3d.geometry.PointCloud()
-    n.points = o3d.utility.Vector3dVector(nonground)
-    n.paint_uniform_color([1.0, 0.0, 0.0])
-    o3d.visualization.draw_geometries([g, n])
-
+from patchworkpp_tpu.cli.demo_sequential import main
 
 if __name__ == "__main__":
     main()

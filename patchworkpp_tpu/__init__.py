@@ -20,7 +20,7 @@ Public API:
 from patchworkpp_tpu.params import Params, CZMGeometry
 from patchworkpp_tpu.state import AdaptiveState, init_state
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Params",

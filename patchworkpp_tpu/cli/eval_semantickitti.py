@@ -1,0 +1,88 @@
+"""SemanticKITTI ground-segmentation evaluation harness.
+
+The reference defers accuracy evaluation to the external
+url-kaist/Ground-Segmentation-Benchmark repo (reference README.md:30); this
+makes it first-class: streams a sequence through the engine with adapted
+state and reports precision/recall/F1/accuracy against the semantic labels
+(ground classes: road, parking, sidewalk, other-ground, lane-marking,
+terrain), plus per-frame latency.
+
+Usage:
+  ppk-eval --root /data/semantickitti --seq 00
+  ppk-eval --scan-dir /root/reference/data   # no labels: timing only
+"""
+
+import argparse
+import json
+import time
+
+
+import numpy as np
+
+from patchworkpp_tpu import Params
+from patchworkpp_tpu.io import ScanDataset, evaluate_masks, ground_truth_mask
+from patchworkpp_tpu.models import PatchworkPP
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", help="SemanticKITTI root (contains sequences/)")
+    ap.add_argument("--seq", default="00")
+    ap.add_argument("--scan-dir", help="flat dir of .bin scans (no labels)")
+    ap.add_argument("--limit", type=int, default=0, help="max frames (0 = all)")
+    ap.add_argument("--capacity", type=int, default=131072)
+    ap.add_argument("--json", action="store_true", help="one JSON line output")
+    args = ap.parse_args()
+
+    if args.root:
+        ds = ScanDataset.semantickitti(args.root, args.seq)
+    elif args.scan_dir:
+        ds = ScanDataset(args.scan_dir)
+    else:
+        ap.error("need --root or --scan-dir")
+
+    model = PatchworkPP(Params(), capacity=args.capacity)
+
+    tp = fp = fn_ = tn = 0
+    times = []
+    n_frames = len(ds) if args.limit == 0 else min(args.limit, len(ds))
+    for i in range(n_frames):
+        scan = ds.scan(i)
+        res = model.estimate_ground(scan)
+        times.append(res.time_taken_s)
+        labels = ds.labels(i)
+        if labels is not None:
+            gt = ground_truth_mask(labels)
+            r = evaluate_masks(res.ground_mask, gt)
+            tp += r.tp
+            fp += r.fp
+            fn_ += r.fn
+            tn += r.tn
+
+    # Skip the first (compile) frame for latency stats.
+    lat = np.asarray(times[1:] or times)
+    out = {
+        "frames": n_frames,
+        "mean_latency_ms": float(lat.mean() * 1e3),
+        "p99_latency_ms": float(np.percentile(lat, 99) * 1e3),
+        "scans_per_s": float(1.0 / lat.mean()),
+        "sensor_height": model.sensor_height,
+    }
+    if tp + fp + fn_ + tn > 0:
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn_, 1)
+        out.update(
+            precision=precision,
+            recall=recall,
+            f1=2 * precision * recall / max(precision + recall, 1e-12),
+            accuracy=(tp + tn) / (tp + fp + fn_ + tn),
+        )
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

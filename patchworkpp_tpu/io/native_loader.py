@@ -19,11 +19,22 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "libppk_loader.so",
-)
+def _lib_path() -> str:
+    """Locate libppk_loader.so: env override, package-adjacent, repo layout."""
+    env = os.environ.get("PPK_NATIVE_LIB")
+    if env:
+        return env
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join(pkg, "_native", "libppk_loader.so"),
+        os.path.join(os.path.dirname(pkg), "native", "libppk_loader.so"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(os.path.dirname(pkg), "native", "libppk_loader.so")
+
+
+_LIB_PATH = _lib_path()
 _lib: Optional[ctypes.CDLL] = None
 
 

@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# CI-style gate (the analog of the reference's pypi.yml PR smoke job:
+# .github/workflows/pypi.yml — build one wheel + import check). Installs the
+# package, builds the native loader, and runs the CPU test suite.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+pip install --no-build-isolation --quiet -e .
+make -C native
+
+# Import + console-script resolution from OUTSIDE the repo (no path hacks).
+(cd /tmp && JAX_PLATFORMS=cpu python -c "import patchworkpp_tpu; print('import ok', patchworkpp_tpu.__version__)")
+for s in ppk-demo-visualize ppk-demo-sequential ppk-eval ppk-stream-bench ppk-bench; do
+    command -v "$s" >/dev/null || { echo "missing console script: $s"; exit 1; }
+done
+echo "console scripts ok"
+
+python -m pytest tests/ -x -q
+echo "check: all green"

@@ -6,11 +6,11 @@ without TPU hardware, per SURVEY.md §4.
 """
 
 import os
-import sys
 
 # NOTE: in this sandbox a sitecustomize imports jax at interpreter start with
 # JAX_PLATFORMS=axon (tunneled TPU), so env vars alone are too late; the
 # config update below wins as long as no devices have been queried yet.
+# (Package resolution comes from `pip install -e .` or pytest.ini pythonpath.)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -19,8 +19,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest

@@ -1,19 +1,16 @@
-"""Smoke tests for the demo/eval entry points (reference demo parity, C16)."""
+"""Smoke tests for the demo/eval entry points (reference demo parity, C16).
+
+The entry points live in :mod:`patchworkpp_tpu.cli` (installed as ``ppk-*``
+console scripts); the files under ``examples/`` are thin shims over them.
+"""
 
 import os
 import sys
 
-import pytest
-
-EXAMPLES = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
-)
-sys.path.insert(0, EXAMPLES)
-
 
 def test_demo_visualize_runs(capsys, monkeypatch):
-    monkeypatch.setattr(sys, "argv", ["demo_visualize.py"])
-    import demo_visualize
+    monkeypatch.setattr(sys, "argv", ["ppk-demo-visualize"])
+    from patchworkpp_tpu.cli import demo_visualize
 
     demo_visualize.main()
     out = capsys.readouterr().out
@@ -24,8 +21,8 @@ def test_demo_sequential_runs(capsys, monkeypatch, tmp_path):
     # Symlink two scans into a temp dir to keep runtime short.
     for name in ["000000.bin", "000001.bin"]:
         os.symlink(f"/root/reference/data/{name}", tmp_path / name)
-    monkeypatch.setattr(sys, "argv", ["demo_sequential.py", str(tmp_path)])
-    import demo_sequential
+    monkeypatch.setattr(sys, "argv", ["ppk-demo-sequential", str(tmp_path)])
+    from patchworkpp_tpu.cli import demo_sequential
 
     demo_sequential.main()
     out = capsys.readouterr().out
@@ -39,10 +36,31 @@ def test_eval_harness_timing_only(capsys, monkeypatch, tmp_path):
     monkeypatch.setattr(
         sys,
         "argv",
-        ["eval_semantickitti.py", "--scan-dir", str(tmp_path), "--json"],
+        ["ppk-eval", "--scan-dir", str(tmp_path), "--json"],
     )
-    import eval_semantickitti
+    from patchworkpp_tpu.cli import eval_semantickitti
 
     eval_semantickitti.main()
     out = capsys.readouterr().out
     assert '"frames": 1' in out
+
+
+def test_example_shims_import():
+    """The examples/ files must stay importable shims over the cli package."""
+    import importlib.util
+
+    examples = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+    )
+    for name in [
+        "demo_visualize",
+        "demo_sequential",
+        "eval_semantickitti",
+        "stream_bench",
+    ]:
+        spec = importlib.util.spec_from_file_location(
+            f"example_{name}", os.path.join(examples, f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert callable(mod.main)
