@@ -41,16 +41,23 @@ class MeshComm(FrameComm):
 
     def lpr_stats(self, sp: SortedPoints, elig, num_lpr: int):
         # 1. Each shard extracts its local num_lpr lowest eligible z per patch
-        #    into a dense (SPAD, num_lpr) table (+inf padded).
+        #    into a dense (SPAD, num_lpr) table (+inf padded). Built WITHOUT a
+        #    P-sized scatter (the repo perf rule: scatters lower to the ~1 ms
+        #    row-wise TPU emitter): each (patch, rank) slot has exactly one
+        #    contributing point, so a one-hot MXU reduction over the joint
+        #    (patch, rank) one-hot IS the table — an exact selection.
         rank = segment_rank(elig, sp).astype(jnp.int32)
         take = elig & (rank < num_lpr)
-        dump = SPAD * num_lpr
-        slot = jnp.where(take, sp.patch_id * num_lpr + rank, dump)
-        dense = (
-            jnp.full(dump + 1, jnp.inf, jnp.float32)
-            .at[slot]
-            .set(jnp.where(take, sp.z, jnp.inf))
-        )[:dump].reshape(SPAD, num_lpr)
+        riota = jnp.arange(num_lpr, dtype=jnp.int32)
+        ro = jnp.where(
+            take[:, None] & (rank[:, None] == riota[None, :]), 1.0, 0.0
+        )  # (P, num_lpr) rank one-hot
+        red = patch_reduce(
+            jnp.concatenate([ro * sp.z[:, None], ro], axis=1), sp.patch_id
+        )  # (SPAD, 2*num_lpr): [z at each rank slot | slot occupancy]
+        dense = jnp.where(
+            red[:, num_lpr:] > 0.5, red[:, :num_lpr], jnp.inf
+        )
 
         # 2. Gather all shards' candidates and keep the global lowest num_lpr.
         allv = jax.lax.all_gather(dense, self.axis, axis=1, tiled=True)
