@@ -371,12 +371,17 @@ def make_frame_fn(
         npts = jnp.asarray(npts, jnp.int32) - comm.row_offset(points.shape[0])
 
         # ---- per-point: RNR + CZM (C3, C4) ----
-        bins = bin_points(points, npts, state.sensor_height, p, geom)
+        # (named scopes label HLO ops for the per-stage device-time split —
+        # utils/roofline.py aggregates them; the reference's analog is the
+        # verbose czm/sort/pca/gle clock() split, patchworkpp.cpp:320-333)
+        with jax.named_scope("stage_rnr_czm"):
+            bins = bin_points(points, npts, state.sensor_height, p, geom)
         pid_o = bins.patch_id
         xyz_o = points[:, :3]
 
         # ---- global (patch, z) sort (C5) ----
-        sp = sort_by_patch(xyz_o, pid_o, SPAD)
+        with jax.named_scope("stage_sort"):
+            sp = sort_by_patch(xyz_o, pid_o, SPAD)
         counts = comm.reduce_patches(patch_counts(sp))
         processed = (counts >= p.num_min_pts) & (sid < npz)
         proc_f = jnp.where(processed, 1.0, 0.0)
@@ -401,52 +406,59 @@ def make_frame_fn(
         # A patch stays "alive" while (zone == 0 and the fit is not upright);
         # every patch gets >= 1 fit (matching the reference's fit-then-break).
         if p.enable_RVPF:
-            alive = processed
-            for _ in range(p.num_iter):
-                alive_f = jnp.where(alive, 1.0, 0.0)
-                seeds_f = _seed_mask(
-                    sp, active, zone0_pt, alive_f, state.sensor_height,
-                    p.th_seeds_v, p, comm,
-                )
-                carry, _ = _fit_planes(carry, sp, q, seeds_f, alive, shift_tab, comm)
-                vert = (
-                    alive
-                    & (sid < tables.num_zone0)
-                    & (carry.normal[:, 2] < jnp.float32(p.uprightness_thr))
-                )
-                vert_f = jnp.where(vert, 1.0, 0.0)
-                plane_tab = jnp.concatenate(
-                    [carry.normal, carry.d[:, None], vert_f[:, None]], axis=1
-                )
-                vpf_tables.append(plane_tab)
-                look = patch_lookup(plane_tab, pid_s)
-                dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
-                peel = (
-                    active
-                    & (look[:, 4] > 0.5)
-                    & (jnp.abs(dist) < jnp.float32(p.th_dist_v))
-                )
-                active = active & ~peel
-                alive = vert
+            with jax.named_scope("stage_rvpf"):
+                alive = processed
+                for _ in range(p.num_iter):
+                    alive_f = jnp.where(alive, 1.0, 0.0)
+                    seeds_f = _seed_mask(
+                        sp, active, zone0_pt, alive_f, state.sensor_height,
+                        p.th_seeds_v, p, comm,
+                    )
+                    carry, _ = _fit_planes(
+                        carry, sp, q, seeds_f, alive, shift_tab, comm
+                    )
+                    vert = (
+                        alive
+                        & (sid < tables.num_zone0)
+                        & (carry.normal[:, 2] < jnp.float32(p.uprightness_thr))
+                    )
+                    vert_f = jnp.where(vert, 1.0, 0.0)
+                    plane_tab = jnp.concatenate(
+                        [carry.normal, carry.d[:, None], vert_f[:, None]], axis=1
+                    )
+                    vpf_tables.append(plane_tab)
+                    look = patch_lookup(plane_tab, pid_s)
+                    dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
+                    peel = (
+                        active
+                        & (look[:, 4] > 0.5)
+                        & (jnp.abs(dist) < jnp.float32(p.th_dist_v))
+                    )
+                    active = active & ~peel
+                    alive = vert
 
         # ---- R-GPF: iterative ground plane refinement (C9, reference :510-543).
-        seeds_f = _seed_mask(
-            sp, active, zone0_pt, proc_f, state.sensor_height, p.th_seeds, p, comm
-        )
-        carry, _ = _fit_planes(carry, sp, q, seeds_f, processed, shift_tab, comm)
-        g_f = jnp.zeros(points.shape[0], jnp.float32)
-        g_count = jnp.zeros(SPAD, jnp.float32)
-        final_plane_tab = None
-        for i in range(p.num_iter):
-            plane_tab = jnp.concatenate([carry.normal, carry.d[:, None]], axis=1)
-            if i == p.num_iter - 1:
-                final_plane_tab = plane_tab
-            look = patch_lookup(plane_tab, pid_s)
-            dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
-            g_f = jnp.where(
-                active & (dist < jnp.float32(p.th_dist)), 1.0, 0.0
-            )  # signed test (:525)
-            carry, g_count = _fit_planes(carry, sp, q, g_f, processed, shift_tab, comm)
+        with jax.named_scope("stage_rgpf"):
+            seeds_f = _seed_mask(
+                sp, active, zone0_pt, proc_f, state.sensor_height, p.th_seeds,
+                p, comm,
+            )
+            carry, _ = _fit_planes(carry, sp, q, seeds_f, processed, shift_tab, comm)
+            g_f = jnp.zeros(points.shape[0], jnp.float32)
+            g_count = jnp.zeros(SPAD, jnp.float32)
+            final_plane_tab = None
+            for i in range(p.num_iter):
+                plane_tab = jnp.concatenate([carry.normal, carry.d[:, None]], axis=1)
+                if i == p.num_iter - 1:
+                    final_plane_tab = plane_tab
+                look = patch_lookup(plane_tab, pid_s)
+                dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
+                g_f = jnp.where(
+                    active & (dist < jnp.float32(p.th_dist)), 1.0, 0.0
+                )  # signed test (:525)
+                carry, g_count = _fit_planes(
+                    carry, sp, q, g_f, processed, shift_tab, comm
+                )
 
         return _finalize(
             state, carry.normal, carry.mean, carry.svals, carry.n, g_count,
