@@ -137,3 +137,29 @@ class PatchworkPP:
             normals=np.asarray(res.patch_normal)[proc],
             time_taken_s=dt,
         )
+
+    # ------------------------------------------------------------- profiling
+
+    def profile_stages(self, cloud: np.ndarray, frames: int = 3):
+        """Per-stage device-time split of the frame program (verbose analog of
+        the reference's czm/sort/pca/gle clock() breakdown,
+        patchworkpp.cpp:320-333). Traces ``frames`` repetitions with
+        jax.profiler and aggregates op durations by the pipeline's
+        ``stage_*`` named scopes. Returns (stage -> seconds total, top-op
+        table); divide by ``frames`` for per-frame numbers."""
+        from patchworkpp_tpu.utils.roofline import profile_frames
+
+        cloud = np.asarray(cloud, np.float32)
+        self.estimate_ground(cloud)  # compile outside the trace
+
+        def run():
+            for _ in range(frames):
+                res = self.estimate_ground(cloud)
+                res.ground_mask  # estimate_ground already synchronizes
+
+        stages, ops = profile_frames(run)
+        if self.params.verbose:
+            from patchworkpp_tpu.utils.roofline import format_report
+
+            print(format_report(stages, frames, header="per-stage device time:"))
+        return stages, ops

@@ -460,11 +460,12 @@ def make_frame_fn(
                     carry, sp, q, g_f, processed, shift_tab, comm
                 )
 
-        return _finalize(
-            state, carry.normal, carry.mean, carry.svals, carry.n, g_count,
-            processed, proc_f, final_plane_tab, vpf_tables, pid_o, xyz_o,
-            points.shape[0],
-        )
+        with jax.named_scope("stage_gle_tail"):
+            return _finalize(
+                state, carry.normal, carry.mean, carry.svals, carry.n, g_count,
+                processed, proc_f, final_plane_tab, vpf_tables, pid_o, xyz_o,
+                points.shape[0],
+            )
 
     def frame_fused(state: AdaptiveState, points: jnp.ndarray, npts: jnp.ndarray):
         from patchworkpp_tpu.ops.tiled import build_tiled
@@ -473,11 +474,13 @@ def make_frame_fn(
         points = points.astype(jnp.float32)
         npts = jnp.asarray(npts, jnp.int32)
 
-        bins = bin_points(points, npts, state.sensor_height, p, geom)
+        with jax.named_scope("stage_rnr_czm"):
+            bins = bin_points(points, npts, state.sensor_height, p, geom)
         pid_o = bins.patch_id
         xyz_o = points[:, :3]
 
-        tp = build_tiled(xyz_o, pid_o)
+        with jax.named_scope("stage_sort"):
+            tp = build_tiled(xyz_o, pid_o)
         counts = tp.counts
         processed = (counts >= p.num_min_pts) & (sid < npz)
         proc_f = jnp.where(processed, 1.0, 0.0)
@@ -499,28 +502,32 @@ def make_frame_fn(
         consts = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(margin_thr)
 
         if fused == "onehot":
-            out = fk.fused_fit(
-                xs, ys, zs, valid_f, tile_patch, gates, consts,
-                params=p, num_zone0_patches=tables.num_zone0,
-                interpret=interpret,
-            )
+            with jax.named_scope("stage_fused_fit"):
+                out = fk.fused_fit(
+                    xs, ys, zs, valid_f, tile_patch, gates, consts,
+                    params=p, num_zone0_patches=tables.num_zone0,
+                    interpret=interpret,
+                )
         else:  # "grid" (default fused mode) or "scan"
             from patchworkpp_tpu.ops.pallas import fit_kernel_scan as fks
             from patchworkpp_tpu.ops.pallas import fit_kernel_grid as fkg
             from patchworkpp_tpu.ops.tiled import TILE
 
-            gates_t = patch_lookup(gates, tile_patch[:, 0])  # (NT, 8)
-            runner = fks.fused_fit_scan if fused == "scan" else fkg.fused_fit_grid
-            out_t = runner(
-                xs, ys, zs, valid_f, tile_patch, gates_t, consts,
-                params=p, num_zone0_patches=tables.num_zone0,
-                interpret=interpret,
-            )
-            head = jnp.clip(
-                (tp.pad_start[:SPAD] // TILE).astype(jnp.int32), 0, nt - 1
-            )
-            out = out_t[head]
-            out = jnp.where(counts[:, None] > 0, out, 0.0)
+            with jax.named_scope("stage_fused_fit"):
+                gates_t = patch_lookup(gates, tile_patch[:, 0])  # (NT, 8)
+                runner = (
+                    fks.fused_fit_scan if fused == "scan" else fkg.fused_fit_grid
+                )
+                out_t = runner(
+                    xs, ys, zs, valid_f, tile_patch, gates_t, consts,
+                    params=p, num_zone0_patches=tables.num_zone0,
+                    interpret=interpret,
+                )
+                head = jnp.clip(
+                    (tp.pad_start[:SPAD] // TILE).astype(jnp.int32), 0, nt - 1
+                )
+                out = out_t[head]
+                out = jnp.where(counts[:, None] > 0, out, 0.0)
 
         normal = out[:, fk.OUT_NORMAL : fk.OUT_NORMAL + 3]
         d = out[:, fk.OUT_D]
@@ -550,10 +557,11 @@ def make_frame_fn(
                 )
         final_plane_tab = out[:, fk.OUT_CARRY2 : fk.OUT_CARRY2 + 4]
 
-        return _finalize(
-            state, normal, mean, svals, n_carry, g_count, processed, proc_f,
-            final_plane_tab, vpf_tables, pid_o, xyz_o, points.shape[0],
-        )
+        with jax.named_scope("stage_gle_tail"):
+            return _finalize(
+                state, normal, mean, svals, n_carry, g_count, processed, proc_f,
+                final_plane_tab, vpf_tables, pid_o, xyz_o, points.shape[0],
+            )
 
     return frame_fused if fused else frame
 
