@@ -297,6 +297,14 @@ def fused_fit_grid(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, OUT_COLS), jnp.float32),
+        # All blocks are whole-array with constant index maps; the kernel's
+        # working set (~34 MB at NT=1532: the (NT,NT) segment matrix + the
+        # tiled point planes + scratch) exceeds the default 16 MB *scoped*
+        # vmem budget but fits comfortably in the 128 MB physical VMEM of a
+        # v5e core, so raise the scoped limit explicitly.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         jnp.asarray(kind), jnp.asarray(peel), jnp.asarray(snap),
