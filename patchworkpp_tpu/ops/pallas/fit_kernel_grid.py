@@ -7,8 +7,9 @@ executes ONE pass, and the body contains each pass *kind* exactly once —
 compiled code size is independent of the number of passes:
 
   grid = (len(pass_program),)
-  kind/config per pass arrive as scalar-prefetch arrays (SMEM), with f32
-  thresholds shipped bit-exactly as int32 views.
+  kind/config per pass arrive as scalar-prefetch arrays (SMEM); the per-pass
+  f32 thresholds ride as a plain f32 scalar-prefetch array (verified to
+  compile and run correctly on the real TPU toolchain).
 
 Movement follows fit_kernel_scan.py (segment-matrix MXU dots, in-tile lane
 prefix as a triangular matmul); all state (active mask, plane carry, alive,
@@ -67,7 +68,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
 
     def kernel(
         # scalar-prefetch (SMEM):
-        kind_ref, peel_ref, snapslot_ref, gatea_ref, final_ref, thbits_ref,
+        kind_ref, peel_ref, snapslot_ref, gatea_ref, final_ref, th_ref,
         # VMEM inputs:
         xs_ref, ys_ref, zs_ref, val_ref, tp_ref, lb_ref, gates_t_ref,
         consts_ref,
@@ -80,7 +81,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
         phase = pl.program_id(0)
         kind = kind_ref[phase]
         margin_thr = consts_ref[0, 0]
-        th = thbits_ref[phase]
+        th = th_ref[phase]
 
         tp = tp_ref[:]
         lb = lb_ref[:]

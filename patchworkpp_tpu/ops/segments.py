@@ -35,9 +35,18 @@ def sort_by_patch(xyz: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) ->
         is_stable=True,
     )
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
-    start = jnp.searchsorted(
-        pid_s, jnp.arange(width + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # start[s] = #{i : pid_s[i] < s} for the sorted ids — derived from the
+    # per-patch histogram (one fused one-hot MXU dot) instead of
+    # jnp.searchsorted, whose binary-search while loop lowers to sequential
+    # row-wise-emitter gathers on TPU.
+    from patchworkpp_tpu.ops.onehot import patch_reduce
+
+    counts = patch_reduce(
+        jnp.ones((patch_id.shape[0], 1), jnp.float32), patch_id, width
+    )[:, 0].astype(jnp.int32)
+    start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
     return SortedPoints(xyz=xyz_s, z=z_s, patch_id=pid_s, start=start)
 
 

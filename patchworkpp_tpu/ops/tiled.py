@@ -60,14 +60,18 @@ def build_tiled(xyz: jnp.ndarray, patch_id: jnp.ndarray) -> TiledPoints:
     )
 
     # Filler j (of the patch-padding kind) belongs to the patch whose padding
-    # interval covers j: intervals sized padded-counts, found by searchsorted.
+    # interval covers j: intervals sized padded-counts. searchsorted(bounds, j,
+    # 'right') == #{s : bounds[s] <= j}, computed as a fused compare+reduce —
+    # jnp.searchsorted lowers to a binary-search while loop whose body is a
+    # row-wise-emitter gather (~5 ms/frame on TPU at this size). Fillers past
+    # the total needed count all S bounds, i.e. land in the sentinel bucket
+    # SPAD, for free.
     fill_needed = padded - counts_i
     fill_bounds = jnp.cumsum(fill_needed)
     j = jnp.arange(nfill, dtype=jnp.int32)
-    fill_patch = jnp.searchsorted(fill_bounds, j, side="right").astype(jnp.int32)
-    # Fillers beyond the total needed go to a sentinel bucket past all patches.
-    total_fill = fill_bounds[-1]
-    fill_patch = jnp.where(j < total_fill, fill_patch, jnp.int32(SPAD))
+    fill_patch = jnp.sum(
+        (j[:, None] >= fill_bounds[None, :]).astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
 
     big = jnp.float32(jnp.inf)
     key_pid = jnp.concatenate([patch_id, fill_patch])
