@@ -1,0 +1,198 @@
+"""Mock-rclpy unit test of the ROS 2 bridge message round-trip.
+
+rclpy is not installed in this image, so the bridge normally import-gates
+itself off (``HAVE_ROS2 = False``). Here we install minimal fake ``rclpy`` /
+``sensor_msgs`` / ``sensor_msgs_py`` / ``std_msgs`` / ``builtin_interfaces``
+modules, reload the bridge, and drive one PointCloud2-shaped message through
+subscribe -> server -> publish, asserting the republished ground/nonground
+clouds exactly partition the input (the reference node's contract,
+reference: ros/src/GroundSegmentationServer.cpp:74-95).
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import time
+import types
+
+import numpy as np
+import pytest
+
+
+class _FakePointCloud2:
+    def __init__(self, pts=None, header=None):
+        self._pts = pts
+        self.header = header
+
+
+class _FakeParameter:
+    def __init__(self, value):
+        self.value = value
+
+
+class _FakePublisher:
+    def __init__(self, topic):
+        self.topic = topic
+        self.messages = []
+
+    def publish(self, msg):
+        self.messages.append(msg)
+
+
+class _FakeNodeBase:
+    """Subset of rclpy.node.Node used by PatchworkppNode."""
+
+    def __init__(self, name):
+        self._name = name
+        self.subscriptions = []
+        self.publishers = []
+
+    def declare_parameter(self, name, default):
+        return _FakeParameter(default)
+
+    def create_subscription(self, msg_type, topic, callback, qos):
+        self.subscriptions.append((topic, callback))
+        return (topic, callback)
+
+    def create_publisher(self, msg_type, topic, qos):
+        pub = _FakePublisher(topic)
+        self.publishers.append(pub)
+        return pub
+
+
+class _Stamp:
+    sec = 7
+    nanosec = 250_000_000
+
+
+class _Header:
+    def __init__(self):
+        self.frame_id = ""
+        self.stamp = _Stamp()
+
+
+@pytest.fixture()
+def bridge(monkeypatch):
+    fake_rclpy = types.ModuleType("rclpy")
+    fake_rclpy.init = lambda *a, **k: None
+    fake_rclpy.spin = lambda node: None
+    fake_rclpy.shutdown = lambda: None
+    fake_rclpy_node = types.ModuleType("rclpy.node")
+    fake_rclpy_node.Node = _FakeNodeBase
+    fake_rclpy.node = fake_rclpy_node
+
+    fake_sensor_msgs = types.ModuleType("sensor_msgs")
+    fake_sensor_msgs_msg = types.ModuleType("sensor_msgs.msg")
+    fake_sensor_msgs_msg.PointCloud2 = _FakePointCloud2
+    fake_sensor_msgs.msg = fake_sensor_msgs_msg
+
+    fake_pc2 = types.ModuleType("sensor_msgs_py.point_cloud2")
+
+    def read_points_numpy(msg, field_names=("x", "y", "z"), skip_nans=True):
+        return msg._pts[:, : len(field_names)]
+
+    def create_cloud_xyz32(header, pts):
+        return _FakePointCloud2(np.asarray(pts), header)
+
+    fake_pc2.read_points_numpy = read_points_numpy
+    fake_pc2.create_cloud_xyz32 = create_cloud_xyz32
+    fake_sensor_msgs_py = types.ModuleType("sensor_msgs_py")
+    fake_sensor_msgs_py.point_cloud2 = fake_pc2
+
+    fake_std_msgs = types.ModuleType("std_msgs")
+    fake_std_msgs_msg = types.ModuleType("std_msgs.msg")
+    fake_std_msgs_msg.Header = _Header
+    fake_std_msgs.msg = fake_std_msgs_msg
+
+    fake_builtin = types.ModuleType("builtin_interfaces")
+    fake_builtin_msg = types.ModuleType("builtin_interfaces.msg")
+
+    class _Time:
+        def __init__(self, sec=0, nanosec=0):
+            self.sec, self.nanosec = sec, nanosec
+
+    fake_builtin_msg.Time = _Time
+    fake_builtin.msg = fake_builtin_msg
+
+    for name, mod in [
+        ("rclpy", fake_rclpy),
+        ("rclpy.node", fake_rclpy_node),
+        ("sensor_msgs", fake_sensor_msgs),
+        ("sensor_msgs.msg", fake_sensor_msgs_msg),
+        ("sensor_msgs_py", fake_sensor_msgs_py),
+        ("sensor_msgs_py.point_cloud2", fake_pc2),
+        ("std_msgs", fake_std_msgs),
+        ("std_msgs.msg", fake_std_msgs_msg),
+        ("builtin_interfaces", fake_builtin),
+        ("builtin_interfaces.msg", fake_builtin_msg),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    import patchworkpp_tpu.serve.ros2_bridge as rb
+
+    rb = importlib.reload(rb)
+    assert rb.HAVE_ROS2
+    yield rb
+    # restore the gated (rclpy-less) module state for other tests
+    monkeypatch.undo()
+    importlib.reload(rb)
+
+
+SUB = 16
+
+
+def test_bridge_round_trip(bridge, scans):
+    node = bridge.PatchworkppNode()
+    try:
+        pts = scans["000000"][::SUB, :3].astype(np.float32)
+        msg = _FakePointCloud2(pts, _Header())
+        # find the subscription callback and the three publishers
+        topics = {t for t, _ in node.subscriptions}
+        assert "pointcloud_topic" in topics
+        pubs = {p.topic: p for p in node.publishers}
+        assert set(pubs) == {
+            "/patchworkpp/cloud", "/patchworkpp/ground", "/patchworkpp/nonground"
+        }
+
+        node._on_cloud(msg)
+
+        # input cloud is republished synchronously
+        assert pubs["/patchworkpp/cloud"].messages == [msg]
+
+        # ground/nonground arrive via the async server worker
+        deadline = time.time() + 120.0
+        while time.time() < deadline and not pubs["/patchworkpp/ground"].messages:
+            time.sleep(0.05)
+        assert pubs["/patchworkpp/ground"].messages, "no ground cloud published"
+        g = pubs["/patchworkpp/ground"].messages[0]._pts
+        ng = pubs["/patchworkpp/nonground"].messages[0]._pts
+
+        # exact partition of the input cloud
+        assert len(g) + len(ng) == len(pts)
+        both = np.concatenate([g, ng], axis=0)
+        assert np.array_equal(
+            np.sort(both.view([("", both.dtype)] * 3).ravel()),
+            np.sort(pts.view([("", pts.dtype)] * 3).ravel()),
+        )
+        # header stamp/frame propagated
+        assert g.shape[1] == 3
+        hdr = pubs["/patchworkpp/ground"].messages[0].header
+        assert hdr.frame_id == "base_link"
+        assert hdr.stamp.sec == 7
+    finally:
+        node.server.stop()
+
+
+def test_launch_node_parameters_match_preset():
+    from patchworkpp_tpu.serve.launch import launch_node_parameters
+    from patchworkpp_tpu.models import presets
+
+    params = launch_node_parameters(base_frame="lidar", use_sim_time=False)
+    p = presets.ros_launch_params()
+    assert params["sensor_height"] == p.sensor_height == 1.88
+    assert params["uprightness_thr"] == p.uprightness_thr == 0.101
+    assert params["num_min_pts"] == p.num_min_pts == 0
+    assert params["th_dist_v"] == p.th_dist_v == 0.9
+    assert params["base_frame"] == "lidar"
+    assert params["use_sim_time"] is False
