@@ -4,15 +4,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the unmodified C++ reference compiled -O3 runs 29.8 scans/s on one
 Xeon core over the same six scans (BASELINE.md). The measured configuration
-matches `demo_sequential` semantics: one engine, adaptive state carried
-across frames in order (the state chain makes every frame's execution depend
-on the previous one, so the loop measures true sequential device
-throughput). Results are held on device — a device-side accumulator of each
-frame's ground count is fetched once at the end as the synchronization
-point. (In this sandbox the TPU is tunneled; bulk D2H runs at ~2.5 MB/s and
-`block_until_ready` does not reliably block, so per-frame mask fetches would
-measure the tunnel, not the engine. On a directly-attached TPU the mask is
-a 128 KB PCIe transfer, trivially overlapped.)
+matches `demo_sequential` semantics: one engine (the fused Pallas fit kernel
+on TPU — make_frame_fn's auto default), adaptive state carried across frames
+in order. The state chain makes every frame's execution depend on the
+previous one, so no execution can be elided or served from a result cache,
+and one scalar fetch at the end is a sound synchronization point. (In this
+sandbox the TPU is tunneled: bulk D2H runs at ~2.5 MB/s and
+`block_until_ready` does not reliably block, so per-frame fetches — even of
+the int32 ground count — would measure the tunnel's ~6 ms round-trip, not
+the engine. On a directly-attached TPU the 128 KB mask is a trivially
+overlapped PCIe transfer.)
+
+The adaptive sensor height is fetched before and after the timed loop and
+asserted to move: proof the chain really executed frame by frame.
 """
 
 import json
@@ -41,7 +45,7 @@ def main() -> None:
         scans.append((jnp.asarray(padded), jnp.int32(len(pts))))
 
     params = Params()
-    fn = jax.jit(make_frame_fn(params))
+    fn = jax.jit(make_frame_fn(params))  # fused auto: grid kernel on TPU
     state = init_state(params)
 
     # Warmup: compile + two full epochs; scalar fetch forces completion.
@@ -49,18 +53,17 @@ def main() -> None:
     for _ in range(2):
         for x, n in scans:
             st, res = fn(st, x, n)
-    int(res.num_ground)
+    sh_warm = float(st.sensor_height)
 
     frames = 0
-    acc = jnp.int32(0)
     t0 = time.perf_counter()
     for _ in range(TIMED_EPOCHS):
         for x, n in scans:
             st, res = fn(st, x, n)
-            acc = acc + res.num_ground
             frames += 1
-    int(acc)  # single scalar D2H: the synchronization point
+    sh_final = float(st.sensor_height)  # single scalar D2H: the sync point
     dt = time.perf_counter() - t0
+    assert sh_final != sh_warm, "state did not advance — loop was elided?"
 
     scans_per_s = frames / dt
     print(

@@ -88,9 +88,16 @@ def eigh3x3_descending(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     best = jnp.where((nbest_ab >= n_c)[..., None], best_ab, c_c)
     nbest = jnp.maximum(nbest_ab, n_c)
 
-    # Degenerate (e1 == e2 or zero matrix): eigenvector underdetermined; use
-    # +z, matching Eigen's identity-U convention for (near-)diagonal input.
-    degenerate = nbest <= _EPS
+    # Degenerate (e1 == e2 or rank <= 1, e.g. a 2-point fit): the smallest
+    # eigenvector is underdetermined — cross products are pure rounding noise
+    # whose magnitude scales as (ulp * ||A||^2)^2, so the test must be
+    # RELATIVE to ||A||_F^4. (An absolute 1e-12 let noise vectors through for
+    # patches with ||A|| >~ 1, making the answer depend on summation order.)
+    # Resolve the free choice deterministically with +z; the reference's
+    # JacobiSVD makes its own arbitrary pick here (patchworkpp.cpp:62-66),
+    # equally meaningless for rank-deficient fits.
+    fro2 = a00 * a00 + a11 * a11 + a22 * a22 + 2.0 * off_sq
+    degenerate = nbest <= jnp.float32(1e-12) * fro2 * fro2
     zhat = jnp.zeros_like(best).at[..., 2].set(1.0)
     vec = jnp.where(degenerate[..., None], zhat, best)
     norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True))

@@ -135,32 +135,34 @@ def _lane_prefix_exclusive(m):
     return jnp.dot(m, lt, preferred_element_type=jnp.float32)
 
 
-def _smallest_eig(cxx, cxy, cxz, cyy, cyz, czz, iters: int = 10):
-    """Smallest eigenvalue of symmetric 3x3 batches via monotone Newton.
+def _smallest_eig(cxx, cxy, cxz, cyy, cyz, czz):
+    """Smallest eigenvalue of symmetric 3x3 batches, closed form (Cardano).
 
-    Start from a Gershgorin lower bound; Newton on det(A - x I) from the left
-    of the smallest root converges monotonically (all-real-root cubic).
+    Column-form transliteration of ops/eigen3.py:eigh3x3_descending's ``e2``
+    (same operation order, so the kernel and the unfused XLA path agree to
+    the last ulp of the backend's transcendentals). A Newton-from-Gershgorin
+    iteration used here previously converged too slowly when the dominant
+    eigenvalue is ~700x the smallest pair (10 iterations left a residual
+    comparable to the e0/e1 gap, picking a structurally wrong eigenvector —
+    one mislabeled point on seq scan 000004).
     """
-    r0 = jnp.abs(cxy) + jnp.abs(cxz)
-    r1 = jnp.abs(cxy) + jnp.abs(cyz)
-    r2 = jnp.abs(cxz) + jnp.abs(cyz)
-    lam = jnp.minimum(jnp.minimum(cxx - r0, cyy - r1), czz - r2)
-    for _ in range(iters):
-        b00, b11, b22 = cxx - lam, cyy - lam, czz - lam
-        det = (
-            b00 * (b11 * b22 - cyz * cyz)
-            - cxy * (cxy * b22 - cyz * cxz)
-            + cxz * (cxy * cyz - b11 * cxz)
-        )
-        # d/dx det(A - x I) = -(m00 + m11 + m22) (sum of principal 2x2 minors)
-        dp = -(
-            (b11 * b22 - cyz * cyz)
-            + (b00 * b22 - cxz * cxz)
-            + (b00 * b11 - cxy * cxy)
-        )
-        step = det / jnp.where(jnp.abs(dp) > 1e-30, dp, 1e-30)
-        lam = lam - step
-    return lam
+    off_sq = cxy * cxy + cxz * cxz + cyz * cyz
+    q = (cxx + cyy + czz) / 3.0
+    b00, b11, b22 = cxx - q, cyy - q, czz - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * off_sq
+    p = jnp.sqrt(p2 / 6.0)
+    safe_p = jnp.where(p > 1e-12, p, 1.0)
+    c00, c11, c22 = b00 / safe_p, b11 / safe_p, b22 / safe_p
+    c01, c02, c12 = cxy / safe_p, cxz / safe_p, cyz / safe_p
+    detb = (
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e2 = q + 2.0 * p * jnp.cos(phi + jnp.float32(2.0943951023931953))
+    return jnp.where(p2 <= 1e-12, q, e2)
 
 
 def _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz):
@@ -195,7 +197,13 @@ def _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz):
     vy = jnp.where(use_ab, vy, cy)
     vz = jnp.where(use_ab, vz, cz)
     nbest = jnp.maximum(nab, nc)
-    degen = nbest <= 1e-12
+    # Scale-relative degeneracy test — must mirror ops/eigen3.py exactly so
+    # the fused and unfused paths resolve rank-deficient fits identically.
+    fro2 = (
+        cxx * cxx + cyy * cyy + czz * czz
+        + 2.0 * (cxy * cxy + cxz * cxz + cyz * cyz)
+    )
+    degen = nbest <= jnp.float32(1e-12) * fro2 * fro2
     vx = jnp.where(degen, 0.0, vx)
     vy = jnp.where(degen, 0.0, vy)
     vz = jnp.where(degen, 1.0, vz)

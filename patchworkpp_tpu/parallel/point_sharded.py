@@ -30,6 +30,8 @@ from patchworkpp_tpu.state import AdaptiveState
 class MeshComm(FrameComm):
     """FrameComm over a named mesh axis (used inside shard_map)."""
 
+    is_sharded = True
+
     def __init__(self, axis: str):
         self.axis = axis
 

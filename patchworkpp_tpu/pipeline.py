@@ -135,6 +135,8 @@ class FrameComm:
     cross-shard state, a few hundred KB per frame over ICI.
     """
 
+    is_sharded = False
+
     def row_offset(self, n_local: int) -> jnp.ndarray:
         """Global row index of this shard's first point."""
         return jnp.int32(0)
@@ -244,9 +246,16 @@ def make_frame_fn(
     geom = geom or CZMGeometry.create(p)
     comm = comm or FrameComm()
     if fused is None:
-        # The fused kernel is opt-in until its Mosaic compile time on the
-        # tunneled TPU is characterized (see ops/pallas/fit_kernel*.py).
-        fused = False
+        # Auto: the grid fused kernel is the product path on TPU (compiles in
+        # ~70 s, ~2.2 ms/frame device time); point-sharded runs use the
+        # unfused path (the kernel is single-chip, whole-frame). CPU runs use
+        # the unfused path — Pallas-on-CPU requires interpret mode, which is
+        # far slower than the XLA:CPU program.
+        import jax as _jax
+
+        on_tpu = _jax.default_backend() not in ("cpu",)
+        sharded = comm is not None and getattr(comm, "is_sharded", False)
+        fused = bool(on_tpu and not sharded)
     if fused is True:
         fused = "grid"
     tables = build_static_tables(p, geom)
