@@ -18,6 +18,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from patchworkpp_tpu.ops.trig import cardano_cos_pair
+
 _EPS = 1e-12
 
 
@@ -57,11 +59,14 @@ def eigh3x3_descending(cov: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         + c02 * (c01 * c12 - c11 * c02)
     )
     r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
+    # Polynomial trig (ops/trig.py) instead of jnp.arccos/cos: Mosaic cannot
+    # lower acos, and the fused kernel must execute byte-identical arithmetic
+    # to this path so both resolve every eigenproblem the same way.
+    cos_lo, cos_hi = cardano_cos_pair(r)
 
     two_p = 2.0 * p
-    e0 = q + two_p * jnp.cos(phi)
-    e2 = q + two_p * jnp.cos(phi + jnp.float32(2.0943951023931953))  # + 2pi/3
+    e0 = q + two_p * cos_lo
+    e2 = q + two_p * cos_hi
     e1 = 3.0 * q - e0 - e2
 
     isotropic = p2 <= _EPS

@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from patchworkpp_tpu.params import Params
+from patchworkpp_tpu.ops.trig import cardano_cos_pair
 
 S = 512
 LANE = 128
@@ -160,8 +161,10 @@ def _smallest_eig(cxx, cxy, cxz, cyy, cyz, czz):
         + c02 * (c01 * c12 - c11 * c02)
     )
     r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    e2 = q + 2.0 * p * jnp.cos(phi + jnp.float32(2.0943951023931953))
+    # Polynomial trig (ops/trig.py): Mosaic has no acos lowering, and using
+    # the same polynomials as ops/eigen3.py keeps the two paths byte-equal.
+    _, cos_hi = cardano_cos_pair(r)
+    e2 = q + 2.0 * p * cos_hi
     return jnp.where(p2 <= 1e-12, q, e2)
 
 
