@@ -40,26 +40,52 @@ def make_batch_frame_fn(params: Params, mesh: Mesh, axis: str = "frame"):
     Returns jitted ``fn(states, points, npts) -> (states, results)`` where
     ``points`` is (B, P, 4), ``npts`` (B,), and every state leaf has leading
     batch axis B; B must be divisible by the mesh axis size.
+
+    Implementation: shard_map over the mesh axis; with one stream per device
+    (B == mesh axis size — the intended scaling configuration) each device
+    runs the plain UNBATCHED frame program on its local stream, preserving
+    the single-frame lowering and throughput exactly. Measured alternatives
+    on the v5e (131k-point frames, fused path, 2.24 ms/frame unbatched):
+    a vmapped frame is 6.5x slower per frame even at local batch 1 (the unit
+    leading dim degrades the sort / one-hot / Pallas lowerings), and a
+    ``lax.map`` loop over local streams pays ~5 ms/iteration of loop
+    overhead (140 scans/s at B=2 vs 446 sequential). So: scale streams with
+    DEVICES via this function; to multiplex several streams on ONE device,
+    round-robin them through a single-frame fn from the host — the frames
+    interleave at full per-frame speed. Local batches > 1 still work here
+    (lax.map fallback) but are not the fast path.
     """
     frame = make_frame_fn(params)
-    vframe = jax.vmap(frame)
 
-    shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
-    state_shardings = AdaptiveState(
-        sensor_height=shard, elevation_thr=shard, flatness_thr=shard,
-        elev_buf=shard, elev_cnt=shard, flat_buf=shard, flat_cnt=shard,
-    )
+    def local_body(states, points, npts):
+        if points.shape[0] == 1:  # one stream per device: unbatched lowering
+            st, res = frame(
+                jax.tree.map(lambda a: a[0], states), points[0], npts[0]
+            )
+            expand = lambda a: jnp.expand_dims(a, 0)
+            return jax.tree.map(expand, st), jax.tree.map(expand, res)
+
+        def one(args):
+            st, pts, n = args
+            return frame(st, pts, n)
+
+        return jax.lax.map(one, (states, points, npts))
+
     from patchworkpp_tpu.pipeline import FrameResult
 
-    result_shardings = FrameResult(
-        ground_mask=shard, num_ground=shard, patch_mean=shard,
-        patch_normal=shard, patch_svals=shard, patch_processed=shard,
+    state_spec = jax.tree.map(lambda _: P(axis), AdaptiveState(*[0] * 7))
+    result_spec = FrameResult(
+        ground_mask=P(axis), num_ground=P(axis), patch_mean=P(axis),
+        patch_normal=P(axis), patch_svals=P(axis), patch_processed=P(axis),
     )
     return jax.jit(
-        vframe,
-        in_shardings=(state_shardings, shard, shard),
-        out_shardings=(state_shardings, result_shardings),
+        jax.shard_map(
+            local_body,
+            mesh=mesh,
+            in_specs=(state_spec, P(axis), P(axis)),
+            out_specs=(state_spec, result_spec),
+            check_vma=False,
+        )
     )
 
 

@@ -100,3 +100,19 @@ def test_point_sharded_state_matches_single(mesh8, scans):
         np.asarray(m.state.elevation_thr),
         atol=1e-4,
     )
+
+
+def test_frame_data_parallel_local_batch(mesh8, scans, single_results):
+    """16 streams over 8 devices (local batch 2): the lax.map fallback path."""
+    p = Params()
+    fn = make_batch_frame_fn(p, mesh8, axis="d")
+    names = ["000000", "000001"] * 8
+    clouds = np.stack([_pad(scans[n][::SUB]) for n in names])
+    npts = np.array([len(scans[n][::SUB]) for n in names], np.int32)
+    states = batch_init_state(p, 16)
+    _, res = fn(states, jnp.asarray(clouds), jnp.asarray(npts))
+    masks = np.asarray(res.ground_mask)
+    for i, n in enumerate(names):
+        np.testing.assert_array_equal(
+            masks[i][: npts[i]], single_results[n], err_msg=f"frame {i}"
+        )
