@@ -42,7 +42,7 @@ from patchworkpp_tpu.ops.pallas.fit_kernel import (
     build_pass_program,
 )
 from patchworkpp_tpu.ops.pallas.fit_kernel_scan import (
-    _patch_total_mat,
+    _patch_total_sym,
     _prior_exclusive,
 )
 
@@ -70,7 +70,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
         # scalar-prefetch (SMEM):
         kind_ref, peel_ref, snapslot_ref, gatea_ref, final_ref, th_ref,
         # VMEM inputs:
-        xs_ref, ys_ref, zs_ref, val_ref, tp_ref, lb_ref, gates_t_ref,
+        xs_ref, ys_ref, zs_ref, val_ref, tp_ref, lb_ref, sb_ref, gates_t_ref,
         consts_ref,
         # output:
         out_ref,
@@ -85,6 +85,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
 
         tp = tp_ref[:]
         lb = lb_ref[:]
+        sb = sb_ref[:]
         zone0_t = (tp < num_zone0_patches).astype(jnp.float32)
         proc_t = gates_t_ref[:, 0:1]
         sx = gates_t_ref[:, 1:2]
@@ -139,7 +140,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
                 ],
                 axis=1,
             )
-            tot = _patch_total_mat(lb, per_tile)
+            tot = _patch_total_sym(sb, per_tile)
             cnt = tot[:, 1:2]
             lpr_ref[:] = jnp.where(
                 cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0
@@ -186,7 +187,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
                 ],
                 axis=1,
             )
-            momp = _patch_total_mat(lb, per_tile)  # (NT, 10)
+            momp = _patch_total_sym(sb, per_tile)  # (NT, 10)
 
             @pl.when((kind == K_FITDIST) & (final_ref[phase] > 0))
             def _():
@@ -265,7 +266,8 @@ def fused_fit_grid(
         jnp.arange(nt, dtype=jnp.int32)[:, None]
         > jnp.arange(nt, dtype=jnp.int32)[None, :]
     )
-    lb = (same & lower).astype(jnp.bfloat16)
+    lb = (same & lower).astype(jnp.bfloat16)  # strict-lower: exclusive prefix
+    sb = same.astype(jnp.bfloat16)            # L + L^T + I: patch totals
 
     kernel = make_fit_kernel_grid(params, nt, num_zone0_patches)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -277,6 +279,7 @@ def fused_fit_grid(
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, nt), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, nt), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -299,10 +302,11 @@ def fused_fit_grid(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, OUT_COLS), jnp.float32),
         # All blocks are whole-array with constant index maps; the kernel's
-        # working set (~34 MB at NT=1532: the (NT,NT) segment matrix + the
-        # tiled point planes + scratch) exceeds the default 16 MB *scoped*
-        # vmem budget but fits comfortably in the 128 MB physical VMEM of a
-        # v5e core, so raise the scoped limit explicitly.
+        # working set (~39 MB at NT=1532: the two (NT,NT) segment matrices
+        # (strict-lower for prefixes, symmetric for totals) + the tiled
+        # point planes + scratch) exceeds the default 16 MB *scoped* vmem
+        # budget but fits comfortably in the 128 MB physical VMEM of a v5e
+        # core, so raise the scoped limit explicitly.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -310,5 +314,5 @@ def fused_fit_grid(
     )(
         jnp.asarray(kind), jnp.asarray(peel), jnp.asarray(snap),
         jnp.asarray(gate_alive), jnp.asarray(final), jnp.asarray(th_arr),
-        xs, ys, zs, valid_f, tile_patch, lb, gates_t, consts,
+        xs, ys, zs, valid_f, tile_patch, lb, sb, gates_t, consts,
     )

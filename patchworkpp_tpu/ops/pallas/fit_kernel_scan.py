@@ -95,6 +95,13 @@ def _patch_total_mat(lb, v):
     )
 
 
+def _patch_total_sym(sb, v):
+    """Per-patch totals via the PRECOMPUTED symmetric same-segment matrix
+    ``sb`` = L + L^T + I ((NT, NT) bf16 0/1): one dot set instead of two
+    plus an add — half the MXU work of :func:`_patch_total_mat` per pass."""
+    return _seg_dots(sb, v, transpose=False)
+
+
 def make_fit_kernel_scan(params: Params, nt: int, num_zone0_patches: int):
     p = params
     passes = build_pass_program(p)
