@@ -27,7 +27,7 @@ import numpy as np
 BASELINE_SCANS_PER_S = 29.8
 DATA_DIR = "/root/reference/data"
 CAPACITY = 131072
-TIMED_EPOCHS = 20
+TIMED_EPOCHS = 50
 
 
 def main() -> None:

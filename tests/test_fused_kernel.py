@@ -167,3 +167,29 @@ def test_fused_grid_no_intensity(scans):
     ref = NumpyPatchworkpp(p).estimate_ground(cloud)
     mism = int((np.asarray(res.ground_mask)[: len(cloud)] != ref).sum())
     assert mism == 0
+
+
+def test_fused_grid_empty_and_tiny_clouds():
+    """Degenerate inputs through the fused kernel: no crash, all nonground,
+    and identical to the unfused path (reference: patches below num_min_pts
+    are skipped wholesale, patchworkpp.cpp:191-195)."""
+    params = Params()
+    fn_f = jax.jit(make_frame_fn(params, fused=True, interpret=True))
+    fn_u = jax.jit(make_frame_fn(params, fused=False))
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 37):
+        padded = np.zeros((1024, 4), np.float32)
+        if n:
+            r = rng.uniform(3.0, 40.0, n)
+            th = rng.uniform(0, 2 * np.pi, n)
+            padded[:n, 0] = r * np.cos(th)
+            padded[:n, 1] = r * np.sin(th)
+            padded[:n, 2] = rng.normal(-1.7, 0.1, n)
+        args = (jnp.asarray(padded), jnp.int32(n))
+        _, rf = fn_f(init_state(params), *args)
+        _, ru = fn_u(init_state(params), *args)
+        mf = np.asarray(rf.ground_mask)
+        np.testing.assert_array_equal(mf, np.asarray(ru.ground_mask),
+                                      err_msg=f"n={n}")
+        assert not mf[n:].any(), f"n={n}: padding rows labeled ground"
+        assert int(rf.num_ground) == int(mf.sum())
