@@ -10,7 +10,8 @@ same-segment matrix L ((NT, NT) bf16 0/1, built in XLA from tile_patch):
 - the LPR quota's exclusive tile prefix: L @ m;
 - in-tile lane prefix: one strictly-lower-triangular (128,128) matmul;
 - per-patch quantities live per-tile-replicated (NT, C); the plane fit
-  (Newton smallest-eigenvalue + cross-product normal, see fit_kernel.py)
+  (closed-form Cardano smallest-eigenvalue + cross-product normal,
+  see fit_kernel.py)
   is computed redundantly per tile row; the final (512, C) patch table is a
   head-row gather outside the kernel.
 
@@ -53,7 +54,7 @@ def _split3(x):
     """f32 -> three bf16 terms summing back to x to ~2^-24 relative.
 
     The segment matrix is exactly bf16 (0/1), so three single-pass bf16 dots
-    move f32 values through it bit-faithfully (cf. factored_kernels)."""
+    move f32 values through it bit-faithfully."""
     hi = x.astype(jnp.bfloat16)
     r1 = x - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
