@@ -134,3 +134,45 @@ def test_moment_features_shape(rng):
     assert f.shape == (128, 10)
     np.testing.assert_allclose(f[:, 0], 1.0)
     np.testing.assert_allclose(f[:, 4], np.asarray(q)[:, 0] ** 2, rtol=1e-6)
+
+
+def test_trig_polynomials_accuracy():
+    """ops/trig.py: the Cardano trig substitutes stay within f32-ulp class
+    of the true functions over the full acos domain (Mosaic cannot lower
+    acos, so both engine paths rely on these)."""
+    from patchworkpp_tpu.ops.trig import acos_poly, cardano_cos_pair
+
+    r = np.linspace(-1, 1, 200001).astype(np.float32)
+    ref = np.arccos(r.astype(np.float64))
+    got = np.asarray(acos_poly(jnp.asarray(r)))
+    assert np.abs(got - ref).max() < 5e-7
+    c_lo, c_hi = (np.asarray(v) for v in cardano_cos_pair(jnp.asarray(r)))
+    phi = ref / 3.0
+    assert np.abs(c_lo - np.cos(phi)).max() < 5e-7
+    assert np.abs(c_hi - np.cos(phi + 2 * np.pi / 3)).max() < 5e-7
+
+
+def test_patch_total_sym_equals_mat():
+    """The precomputed symmetric segment matrix reproduces the patch totals
+    of the two-transpose form exactly on integer-valued payloads and to ulp
+    on float payloads."""
+    from patchworkpp_tpu.ops.pallas.fit_kernel_scan import (
+        _patch_total_mat, _patch_total_sym,
+    )
+
+    rng = np.random.default_rng(3)
+    nt = 96
+    tpc = np.sort(rng.integers(0, 17, nt)).astype(np.int32)
+    same = tpc[:, None] == tpc[None, :]
+    lower = np.arange(nt)[:, None] > np.arange(nt)[None, :]
+    lb = jnp.asarray((same & lower).astype(np.float32), jnp.bfloat16)
+    sb = jnp.asarray(same.astype(np.float32), jnp.bfloat16)
+    v_int = jnp.asarray(rng.integers(0, 200, (nt, 10)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(_patch_total_mat(lb, v_int)),
+        np.asarray(_patch_total_sym(sb, v_int)),
+    )
+    v_f = jnp.asarray(rng.normal(0, 30, (nt, 10)).astype(np.float32))
+    a = np.asarray(_patch_total_mat(lb, v_f))
+    b = np.asarray(_patch_total_sym(sb, v_f))
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-4)
