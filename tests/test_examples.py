@@ -30,6 +30,26 @@ def test_demo_sequential_runs(capsys, monkeypatch, tmp_path):
     assert "71848 ground" in out  # sequential-adapted golden count for scan 1
 
 
+def test_demo_multi_stream_runs(capsys, monkeypatch, tmp_path):
+    # Two scans x two streams; each stream keeps its own adaptive state.
+    for name in ["000000.bin", "000001.bin"]:
+        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+    monkeypatch.setattr(
+        sys, "argv", ["ppk-demo-multi-stream", str(tmp_path), "--streams", "2"]
+    )
+    from patchworkpp_tpu.cli import demo_multi_stream
+
+    demo_multi_stream.main()
+    out = capsys.readouterr().out
+    # stream0 sees 000000 then 000001 — exactly the sequential-demo order, so
+    # its counts must match the golden fresh + sequential-adapted numbers,
+    # proving per-stream adaptive state survives interleaving with stream1
+    # (which runs 000001 then 000000 through the same compiled engine).
+    assert "72665 ground" in out
+    assert "71848 ground" in out
+    assert out.count("stream0") == 2 and out.count("stream1") == 2
+
+
 def test_eval_harness_timing_only(capsys, monkeypatch, tmp_path):
     for name in ["000000.bin"]:
         os.symlink(f"/root/reference/data/{name}", tmp_path / name)
@@ -55,6 +75,7 @@ def test_example_shims_import():
     for name in [
         "demo_visualize",
         "demo_sequential",
+        "demo_multi_stream",
         "eval_semantickitti",
         "stream_bench",
     ]:
