@@ -11,9 +11,20 @@ compiled code size is independent of the number of passes:
   f32 thresholds ride as a plain f32 scalar-prefetch array (verified to
   compile and run correctly on the real TPU toolchain).
 
-Movement follows fit_kernel_scan.py (segment-matrix MXU dots, in-tile lane
-prefix as a triangular matmul); all state (active mask, plane carry, alive,
-LPR quota, snapshots) lives in VMEM scratch that persists across grid steps.
+Pass fusion: the scan/unrolled variants run a count -> lprsum -> fitseed
+triple per seed round (reference seed selection + plane fit,
+cpp/patchworkpp/src/patchworkpp.cpp:77-149, :467-549). The three stages are
+sequentially dependent *through the seg-dots*, but splitting them into
+separate grid steps duplicated the eligibility elementwise work and paid
+3x the per-step overhead. Here each triple is ONE `seedfit` grid step
+(peel -> count -> LPR -> seed mask -> moments -> fit -> snapshot) issuing
+the same seg-dots in the same order on the same operands — bit-identical
+results, 7 grid steps instead of 15 (4 with R-VPF off).
+
+Movement follows fit_kernel_scan.py (segment-matrix MXU dots with the
+bf16x3 parts packed into one wide dot, in-tile lane prefix as a triangular
+matmul); all state (active mask, plane carry, alive, snapshots) lives in
+VMEM scratch that persists across grid steps.
 """
 
 from __future__ import annotations
@@ -47,20 +58,40 @@ from patchworkpp_tpu.ops.pallas.fit_kernel_scan import (
 )
 
 LANE = 128
-K_COUNT, K_LPRSUM, K_FITSEED, K_FITDIST = 0, 1, 2, 3
+K_SEEDFIT, K_FITDIST = 0, 1
 
 
 def _pass_config(p: Params):
+    """Fuse each (count, lprsum, fitseed) triple of the canonical pass
+    program (fit_kernel.build_pass_program) into one `seedfit` pass."""
     passes = build_pass_program(p)
-    kind_map = {"count": K_COUNT, "lprsum": K_LPRSUM,
-                "fitseed": K_FITSEED, "fitdist": K_FITDIST}
-    kind = np.array([kind_map[ps.kind] for ps in passes], np.int32)
-    peel = np.array([ps.peel_snap for ps in passes], np.int32)
-    snap = np.array([ps.snap_slot for ps in passes], np.int32)
-    gate_alive = np.array([int(ps.gate_alive) for ps in passes], np.int32)
-    final = np.array([int(ps.is_final) for ps in passes], np.int32)
-    th_arr = np.array([ps.th for ps in passes], np.float32)
-    return len(passes), kind, peel, snap, gate_alive, final, th_arr
+    fused = []
+    i = 0
+    while i < len(passes):
+        ps = passes[i]
+        if ps.kind == "count":
+            assert passes[i + 1].kind == "lprsum"
+            seed = passes[i + 2]
+            assert seed.kind == "fitseed"
+            fused.append(
+                (K_SEEDFIT, ps.peel_snap, seed.snap_slot,
+                 int(seed.gate_alive), 0, seed.th)
+            )
+            i += 3
+        else:
+            assert ps.kind == "fitdist"
+            fused.append(
+                (K_FITDIST, -1, -1, int(ps.gate_alive), int(ps.is_final),
+                 ps.th)
+            )
+            i += 1
+    kind, peel, snap, gate_alive, final, th = map(np.array, zip(*fused))
+    return (
+        len(fused),
+        kind.astype(np.int32), peel.astype(np.int32), snap.astype(np.int32),
+        gate_alive.astype(np.int32), final.astype(np.int32),
+        th.astype(np.float32),
+    )
 
 
 def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
@@ -75,8 +106,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
         # output:
         out_ref,
         # scratch:
-        active_ref, plane_ref, alive_ref, lpr_ref, snap_ref, quota_ref,
-        mask_ref,
+        active_ref, plane_ref, alive_ref, snap_ref, mask_ref,
     ):
         phase = pl.program_id(0)
         kind = kind_ref[phase]
@@ -99,15 +129,11 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             alive_ref[:] = proc_t
             snap_ref[:] = jnp.zeros((nt, 16), jnp.float32)
 
-        def elig_of(act):
-            return act * jnp.where(
-                (zone0_t > 0.5) & (zs_ref[:] < margin_thr), 0.0, 1.0
-            )
+        gate_t = jnp.where(gatea_ref[phase] > 0, alive_ref[:], proc_t)
 
-        # ---- kind: COUNT (optional peel, then LPR quota) ----
-        @pl.when(kind == K_COUNT)
+        # ---- kind: SEEDFIT (peel -> count -> LPR -> seed mask) ----
+        @pl.when(kind == K_SEEDFIT)
         def _():
-            act = active_ref[:]
             peel_slot = peel_ref[phase]
             for slot in range(3):
                 @pl.when(peel_slot == slot)
@@ -123,16 +149,14 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
                     ).astype(jnp.float32)
                     active_ref[:] = active_ref[:] * (1.0 - hit)
             act = active_ref[:]
-            m_t = jnp.sum(elig_of(act), axis=1, keepdims=True)
+            elig = act * jnp.where(
+                (zone0_t > 0.5) & (zs_ref[:] < margin_thr), 0.0, 1.0
+            )
+            m_t = jnp.sum(elig, axis=1, keepdims=True)
             prior = _prior_exclusive(lb, m_t)
-            quota_ref[:] = jnp.clip(jnp.float32(p.num_lpr) - prior, 0.0, None)
-
-        # ---- kind: LPRSUM ----
-        @pl.when(kind == K_LPRSUM)
-        def _():
-            elig = elig_of(active_ref[:])
+            quota = jnp.clip(jnp.float32(p.num_lpr) - prior, 0.0, None)
             rank = _lane_prefix_exclusive(elig)
-            take = elig * (rank < quota_ref[:]).astype(jnp.float32)
+            take = elig * (rank < quota).astype(jnp.float32)
             per_tile = jnp.concatenate(
                 [
                     jnp.sum(zs_ref[:] * take, axis=1, keepdims=True),
@@ -142,21 +166,14 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             )
             tot = _patch_total_sym(sb, per_tile)
             cnt = tot[:, 1:2]
-            lpr_ref[:] = jnp.where(
-                cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0
-            )
-
-        # ---- fit mask construction (seed or dist) ----
-        gate_t = jnp.where(gatea_ref[phase] > 0, alive_ref[:], proc_t)
-
-        @pl.when(kind == K_FITSEED)
-        def _():
+            lpr = jnp.where(cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0)
             mask_ref[:] = (
-                active_ref[:]
-                * (zs_ref[:] < lpr_ref[:] + th).astype(jnp.float32)
+                act
+                * (zs_ref[:] < lpr + th).astype(jnp.float32)
                 * (gate_t > 0.5)
             )
 
+        # ---- kind: FITDIST ----
         @pl.when(kind == K_FITDIST)
         def _():
             pr = plane_ref[:]
@@ -169,68 +186,66 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             )
             mask_ref[:] = active_ref[:] * (dist < th).astype(jnp.float32)
 
-        # ---- shared: moments + fit + snapshot (FITSEED | FITDIST) ----
-        @pl.when((kind == K_FITSEED) | (kind == K_FITDIST))
+        # ---- shared: moments + fit + snapshot (every pass fits) ----
+        mask = mask_ref[:]
+        qx = xs_ref[:] - sx
+        qy = ys_ref[:] - sy
+        qz = zs_ref[:] - sz
+        per_tile = jnp.concatenate(
+            [
+                jnp.sum(f, axis=1, keepdims=True)
+                for f in (
+                    mask, qx * mask, qy * mask, qz * mask,
+                    qx * qx * mask, qx * qy * mask, qx * qz * mask,
+                    qy * qy * mask, qy * qz * mask, qz * qz * mask,
+                )
+            ],
+            axis=1,
+        )
+        momp = _patch_total_sym(sb, per_tile)  # (NT, 10)
+
+        @pl.when((kind == K_FITDIST) & (final_ref[phase] > 0))
         def _():
-            mask = mask_ref[:]
-            qx = xs_ref[:] - sx
-            qy = ys_ref[:] - sy
-            qz = zs_ref[:] - sz
-            per_tile = jnp.concatenate(
-                [
-                    jnp.sum(f, axis=1, keepdims=True)
-                    for f in (
-                        mask, qx * mask, qy * mask, qz * mask,
-                        qx * qx * mask, qx * qy * mask, qx * qz * mask,
-                        qy * qy * mask, qy * qz * mask, qz * qz * mask,
-                    )
-                ],
-                axis=1,
-            )
-            momp = _patch_total_sym(sb, per_tile)  # (NT, 10)
+            out_ref[:, OUT_GCOUNT:OUT_GCOUNT + 1] = momp[:, 0:1]
 
-            @pl.when((kind == K_FITDIST) & (final_ref[phase] > 0))
+        n = momp[:, 0:1]
+        safe_n = jnp.maximum(n, 1.0)
+        mqx = momp[:, 1:2] / safe_n
+        mqy = momp[:, 2:3] / safe_n
+        mqz = momp[:, 3:4] / safe_n
+        denom = n - 1.0
+        cxx = (momp[:, 4:5] - n * mqx * mqx) / denom
+        cxy = (momp[:, 5:6] - n * mqx * mqy) / denom
+        cxz = (momp[:, 6:7] - n * mqx * mqz) / denom
+        cyy = (momp[:, 7:8] - n * mqy * mqy) / denom
+        cyz = (momp[:, 8:9] - n * mqy * mqz) / denom
+        czz = (momp[:, 9:10] - n * mqz * mqz) / denom
+        nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
+        mx, my, mz = mqx + sx, mqy + sy, mqz + sz
+        d = -(nx * mx + ny * my + nz * mz)
+        upd = (gate_t > 0.5) & (n > 0)
+        old = plane_ref[:]
+        new = jnp.concatenate(
+            [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my, mz,
+             old[:, 14:16] * 0],
+            axis=1,
+        )
+        plane_ref[:] = jnp.where(upd, new, old)
+
+        snap_slot = snapslot_ref[phase]
+        for slot in range(3):
+            @pl.when(snap_slot == slot)
             def _():
-                out_ref[:, OUT_GCOUNT:OUT_GCOUNT + 1] = momp[:, 0:1]
-
-            n = momp[:, 0:1]
-            safe_n = jnp.maximum(n, 1.0)
-            mqx = momp[:, 1:2] / safe_n
-            mqy = momp[:, 2:3] / safe_n
-            mqz = momp[:, 3:4] / safe_n
-            denom = n - 1.0
-            cxx = (momp[:, 4:5] - n * mqx * mqx) / denom
-            cxy = (momp[:, 5:6] - n * mqx * mqy) / denom
-            cxz = (momp[:, 6:7] - n * mqx * mqz) / denom
-            cyy = (momp[:, 7:8] - n * mqy * mqy) / denom
-            cyz = (momp[:, 8:9] - n * mqy * mqz) / denom
-            czz = (momp[:, 9:10] - n * mqz * mqz) / denom
-            nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
-            mx, my, mz = mqx + sx, mqy + sy, mqz + sz
-            d = -(nx * mx + ny * my + nz * mz)
-            upd = (gate_t > 0.5) & (n > 0)
-            old = plane_ref[:]
-            new = jnp.concatenate(
-                [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my, mz,
-                 old[:, 14:16] * 0],
-                axis=1,
-            )
-            plane_ref[:] = jnp.where(upd, new, old)
-
-            snap_slot = snapslot_ref[phase]
-            for slot in range(3):
-                @pl.when(snap_slot == slot)
-                def _():
-                    pr2 = plane_ref[:]
-                    vert = (
-                        (alive_ref[:] > 0.5)
-                        & (zone0_t > 0.5)
-                        & (pr2[:, 2:3] < jnp.float32(p.uprightness_thr))
-                    ).astype(jnp.float32)
-                    snap_ref[:, slot * 5 : slot * 5 + 5] = jnp.concatenate(
-                        [vert, pr2[:, 0:4]], axis=1
-                    )
-                    alive_ref[:] = vert
+                pr2 = plane_ref[:]
+                vert = (
+                    (alive_ref[:] > 0.5)
+                    & (zone0_t > 0.5)
+                    & (pr2[:, 2:3] < jnp.float32(p.uprightness_thr))
+                ).astype(jnp.float32)
+                snap_ref[:, slot * 5 : slot * 5 + 5] = jnp.concatenate(
+                    [vert, pr2[:, 0:4]], axis=1
+                )
+                alive_ref[:] = vert
 
         # ---- final output assembly on the last pass ----
         @pl.when(phase == pl.num_programs(0) - 1)
@@ -291,9 +306,7 @@ def fused_fit_grid(
             pltpu.VMEM((nt, LANE), jnp.float32),  # active
             pltpu.VMEM((nt, 16), jnp.float32),    # plane carry
             pltpu.VMEM((nt, 1), jnp.float32),     # alive
-            pltpu.VMEM((nt, 1), jnp.float32),     # lpr
             pltpu.VMEM((nt, 16), jnp.float32),    # snapshots
-            pltpu.VMEM((nt, 1), jnp.float32),     # quota
             pltpu.VMEM((nt, LANE), jnp.float32),  # fit mask
         ],
     )

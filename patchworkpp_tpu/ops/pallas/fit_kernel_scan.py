@@ -70,16 +70,22 @@ def _seg_dots(lb, v, transpose: bool):
     against the precomputed strictly-lower same-segment matrix ``lb``
     ((NT, NT) bf16 0/1, built in XLA from tile_patch). ``v`` is (NT, C) f32,
     moved exactly via the bf16x3 split.
+
+    The three split parts are PACKED along the lane axis into one
+    (NT, 3C) operand: an (NT, NT) MXU dot costs the same for C=10 as for
+    C=128 (one lane tile), so one packed dot is ~3x cheaper than three
+    narrow dots while computing bit-identical column sums (each output
+    column is an independent contraction; the part slices are added in
+    the same hi+mid+lo order as the unpacked form).
     """
     contract = 0 if transpose else 1
     dims = (((contract,), (0,)), ((), ()))
-    out = None
-    for part in _split3(v):
-        d = jax.lax.dot_general(
-            lb, part, dims, preferred_element_type=jnp.float32
-        )
-        out = d if out is None else out + d
-    return out
+    c = v.shape[1]
+    packed = jnp.concatenate(_split3(v), axis=1)  # (NT, 3C) bf16
+    d = jax.lax.dot_general(
+        lb, packed, dims, preferred_element_type=jnp.float32
+    )
+    return d[:, :c] + d[:, c : 2 * c] + d[:, 2 * c :]
 
 
 def _prior_exclusive(lb, v):
