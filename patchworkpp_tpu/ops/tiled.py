@@ -79,8 +79,14 @@ def build_tiled(xyz: jnp.ndarray, patch_id: jnp.ndarray) -> TiledPoints:
     pay_x = jnp.concatenate([xyz[:, 0], jnp.zeros(nfill)])
     pay_y = jnp.concatenate([xyz[:, 1], jnp.zeros(nfill)])
 
+    # is_stable=False: a stable TPU sort threads an extra iota tiebreaker
+    # through the whole sorting network (~25% more traffic, ~110 us/frame).
+    # Instability only permutes rows with identical (patch, z) keys; every
+    # downstream consumer treats a patch as a set (lane sums, LPR take of
+    # equal-z rows), so labels are unchanged — golden parity stays exact
+    # (12/12, TPU-verified).
     pid_s, z_s, x_s, y_s = jax.lax.sort(
-        (key_pid, key_z, pay_x, pay_y), num_keys=2, is_stable=True
+        (key_pid, key_z, pay_x, pay_y), num_keys=2, is_stable=False
     )
     valid = ~jnp.isinf(z_s)
     z_s = jnp.where(valid, z_s, 0.0)
