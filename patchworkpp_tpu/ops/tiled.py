@@ -8,8 +8,8 @@ sized to round every patch's run up to a multiple of TILE, then sort
 (patch, z) over the extended array. Patch runs then start and end on tile
 boundaries, so tile t belongs entirely to patch tile_patch[t].
 
-Capacity: PT = P + (S-1) * (TILE-1) rounded up bounds the worst case (every
-patch non-empty with maximal padding waste).
+Capacity: PT = P + S * (TILE-1) rounded up bounds the worst case (every
+patch bucket non-empty with maximal padding waste).
 """
 
 from __future__ import annotations
@@ -25,8 +25,13 @@ TILE = 128
 
 
 def tiled_capacity(p: int) -> int:
-    """Static extended length for a P-point cloud (multiple of TILE)."""
-    worst = p + (SPAD - 1) * (TILE - 1)
+    """Static extended length for a P-point cloud (multiple of TILE).
+
+    Sized so the static (SPAD, TILE-1) filler grid always fits: every patch
+    (including the unprocessed bucket) can need at most TILE-1 alignment
+    fillers.
+    """
+    worst = p + SPAD * (TILE - 1)
     return -(-worst // TILE) * TILE
 
 
@@ -59,19 +64,24 @@ def build_tiled(xyz: jnp.ndarray, patch_id: jnp.ndarray) -> TiledPoints:
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
 
-    # Filler j (of the patch-padding kind) belongs to the patch whose padding
-    # interval covers j: intervals sized padded-counts. searchsorted(bounds, j,
-    # 'right') == #{s : bounds[s] <= j}, computed as a fused compare+reduce —
-    # jnp.searchsorted lowers to a binary-search while loop whose body is a
-    # row-wise-emitter gather (~5 ms/frame on TPU at this size). Fillers past
-    # the total needed count all S bounds, i.e. land in the sentinel bucket
-    # SPAD, for free.
+    # Patch p needs fill_needed[p] < TILE alignment fillers. Rather than
+    # run-length-decoding the needs into a flat filler stream (a
+    # (nfill, SPAD) compare-reduce, ~70 us/frame of VPU at this size — and
+    # jnp.searchsorted is worse: it lowers to a binary-search loop whose
+    # body is a row-wise-emitter gather, ~5 ms/frame), lay fillers out as a
+    # STATIC (SPAD, TILE-1) grid: slot (p, i) is a patch-p filler iff
+    # i < fill_needed[p] — one broadcast compare. Excess slots get the
+    # sentinel key SPAD and sort to the global tail with the trailing
+    # capacity pad, exactly as before.
     fill_needed = padded - counts_i
-    fill_bounds = jnp.cumsum(fill_needed)
-    j = jnp.arange(nfill, dtype=jnp.int32)
-    fill_patch = jnp.sum(
-        (j[:, None] >= fill_bounds[None, :]).astype(jnp.float32), axis=1
-    ).astype(jnp.int32)
+    grid_i = jnp.arange(TILE - 1, dtype=jnp.int32)[None, :]
+    grid_p = jnp.arange(SPAD, dtype=jnp.int32)[:, None]
+    grid_patch = jnp.where(
+        grid_i < fill_needed[:, None], grid_p, jnp.int32(SPAD)
+    ).reshape(-1)
+    fill_patch = jnp.concatenate(
+        [grid_patch, jnp.full(nfill - SPAD * (TILE - 1), SPAD, jnp.int32)]
+    )
 
     big = jnp.float32(jnp.inf)
     key_pid = jnp.concatenate([patch_id, fill_patch])
