@@ -21,10 +21,24 @@ separate grid steps duplicated the eligibility elementwise work and paid
 the same seg-dots in the same order on the same operands — bit-identical
 results, 7 grid steps instead of 15 (4 with R-VPF off).
 
-Movement follows fit_kernel_scan.py (segment-matrix MXU dots with the
-bf16x3 parts packed into one wide dot, in-tile lane prefix as a triangular
-matmul); all state (active mask, plane carry, alive, snapshots) lives in
-VMEM scratch that persists across grid steps.
+Patch-level state: fit state (plane carry, alive, snapshots, LPR) lives at
+(SPAD, .) patch rows, not replicated per tile. Cross-tile movement uses two
+0/1 bf16 matrices built in XLA:
+
+  oh (NT, SPAD): tile t belongs to patch p. Patch totals are one
+    contraction `oh^T @ per_tile` ((SPAD,C): 4x12 MXU tiles) and patch->tile
+    broadcasts one `oh @ w` (12x4) — vs 12x12 for the (NT,NT) symmetric
+    same-segment form, with the same contraction order (so totals are
+    bitwise identical) and 6x less VMEM traffic per dot.
+  lb (NT, NT) strict-lower same-segment: the LPR quota's exclusive tile
+    prefix (no cheaper shape exists for a cross-tile prefix without Mosaic
+    roll pathologies).
+
+Broadcast exactness: f32 payloads ride the bf16x3 split (fit_kernel_scan
+_split3) packed into one wide dot. A broadcast row has exactly ONE
+contributing addend, and chop-splitting into 8+8+8 significand bits makes
+(hi+mid)+lo reconstruct the f32 value bitwise (Dekker), so per-tile plane /
+LPR / gate values equal the per-patch originals exactly.
 """
 
 from __future__ import annotations
@@ -38,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from patchworkpp_tpu.params import Params
+from patchworkpp_tpu.ops.onehot import SPAD
 from patchworkpp_tpu.ops.pallas.fit_kernel import (
     OUT_CARRY2,
     OUT_COLS,
@@ -53,7 +68,7 @@ from patchworkpp_tpu.ops.pallas.fit_kernel import (
     build_pass_program,
 )
 from patchworkpp_tpu.ops.pallas.fit_kernel_scan import (
-    _patch_total_sym,
+    _seg_dots,
     _prior_exclusive,
 )
 
@@ -101,8 +116,8 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
         # scalar-prefetch (SMEM):
         kind_ref, peel_ref, snapslot_ref, gatea_ref, final_ref, th_ref,
         # VMEM inputs:
-        xs_ref, ys_ref, zs_ref, val_ref, tp_ref, lb_ref, sb_ref, gates_t_ref,
-        consts_ref,
+        xs_ref, ys_ref, zs_ref, val_ref, lb_ref, oh_ref, gates_t_ref,
+        gates_p_ref, consts_ref,
         # output:
         out_ref,
         # scratch:
@@ -113,23 +128,39 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
         margin_thr = consts_ref[0, 0]
         th = th_ref[phase]
 
-        tp = tp_ref[:]
         lb = lb_ref[:]
-        sb = sb_ref[:]
-        zone0_t = (tp < num_zone0_patches).astype(jnp.float32)
+        oh = oh_ref[:]
         proc_t = gates_t_ref[:, 0:1]
         sx = gates_t_ref[:, 1:2]
         sy = gates_t_ref[:, 2:3]
         sz = gates_t_ref[:, 3:4]
+        zone0_t = gates_t_ref[:, 4:5]
+        proc_p = gates_p_ref[:, 0:1]
+        spx = gates_p_ref[:, 1:2]
+        spy = gates_p_ref[:, 2:3]
+        spz = gates_p_ref[:, 3:4]
+        zone0_p = (
+            jax.lax.broadcasted_iota(jnp.int32, (SPAD, 1), 0)
+            < num_zone0_patches
+        )
+
+        def bcast(w):
+            """Patch rows -> tile rows, bitwise exact (single addend)."""
+            return _seg_dots(oh, w, transpose=False)
+
+        def reduce_p(v):
+            """Per-tile rows -> patch totals (same contraction order as the
+            (NT,NT) symmetric form: addends sit at the same K positions)."""
+            return _seg_dots(oh, v, transpose=True)
 
         @pl.when(phase == 0)
         def _():
             active_ref[:] = val_ref[:] * proc_t
-            plane_ref[:] = jnp.zeros((nt, 16), jnp.float32)
-            alive_ref[:] = proc_t
-            snap_ref[:] = jnp.zeros((nt, 16), jnp.float32)
+            plane_ref[:] = jnp.zeros((SPAD, 16), jnp.float32)
+            alive_ref[:] = proc_p
+            snap_ref[:] = jnp.zeros((SPAD, 16), jnp.float32)
 
-        gate_t = jnp.where(gatea_ref[phase] > 0, alive_ref[:], proc_t)
+        gate_p = jnp.where(gatea_ref[phase] > 0, alive_ref[:], proc_p)
 
         # ---- kind: SEEDFIT (peel -> count -> LPR -> seed mask) ----
         @pl.when(kind == K_SEEDFIT)
@@ -138,13 +169,13 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             for slot in range(3):
                 @pl.when(peel_slot == slot)
                 def _():
-                    snap = snap_ref[:, slot * 5 : slot * 5 + 5]
+                    snap_t = bcast(snap_ref[:, slot * 5 : slot * 5 + 5])
                     dist = (
-                        xs_ref[:] * snap[:, 1:2] + ys_ref[:] * snap[:, 2:3]
-                        + zs_ref[:] * snap[:, 3:4] + snap[:, 4:5]
+                        xs_ref[:] * snap_t[:, 1:2] + ys_ref[:] * snap_t[:, 2:3]
+                        + zs_ref[:] * snap_t[:, 3:4] + snap_t[:, 4:5]
                     )
                     hit = (
-                        (snap[:, 0:1] > 0.5)
+                        (snap_t[:, 0:1] > 0.5)
                         & (jnp.abs(dist) < jnp.float32(p.th_dist_v))
                     ).astype(jnp.float32)
                     active_ref[:] = active_ref[:] * (1.0 - hit)
@@ -164,13 +195,16 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
                 ],
                 axis=1,
             )
-            tot = _patch_total_sym(sb, per_tile)
+            tot = reduce_p(per_tile)  # (SPAD, 2)
             cnt = tot[:, 1:2]
-            lpr = jnp.where(cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0)
+            lpr_p = jnp.where(
+                cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0
+            )
+            lg_t = bcast(jnp.concatenate([lpr_p, gate_p], axis=1))
             mask_ref[:] = (
                 act
-                * (zs_ref[:] < lpr + th).astype(jnp.float32)
-                * (gate_t > 0.5)
+                * (zs_ref[:] < lg_t[:, 0:1] + th).astype(jnp.float32)
+                * (lg_t[:, 1:2] > 0.5)
             )
 
         # ---- kind: FITDIST ----
@@ -180,9 +214,10 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             @pl.when(final_ref[phase] > 0)
             def _():
                 out_ref[:, OUT_CARRY2:OUT_CARRY2 + 4] = pr[:, 0:4]
+            pl_t = bcast(pr[:, 0:4])
             dist = (
-                xs_ref[:] * pr[:, 0:1] + ys_ref[:] * pr[:, 1:2]
-                + zs_ref[:] * pr[:, 2:3] + pr[:, 3:4]
+                xs_ref[:] * pl_t[:, 0:1] + ys_ref[:] * pl_t[:, 1:2]
+                + zs_ref[:] * pl_t[:, 2:3] + pl_t[:, 3:4]
             )
             mask_ref[:] = active_ref[:] * (dist < th).astype(jnp.float32)
 
@@ -202,7 +237,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             ],
             axis=1,
         )
-        momp = _patch_total_sym(sb, per_tile)  # (NT, 10)
+        momp = reduce_p(per_tile)  # (SPAD, 10)
 
         @pl.when((kind == K_FITDIST) & (final_ref[phase] > 0))
         def _():
@@ -221,9 +256,9 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
         cyz = (momp[:, 8:9] - n * mqy * mqz) / denom
         czz = (momp[:, 9:10] - n * mqz * mqz) / denom
         nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
-        mx, my, mz = mqx + sx, mqy + sy, mqz + sz
+        mx, my, mz = mqx + spx, mqy + spy, mqz + spz
         d = -(nx * mx + ny * my + nz * mz)
-        upd = (gate_t > 0.5) & (n > 0)
+        upd = (gate_p > 0.5) & (n > 0)
         old = plane_ref[:]
         new = jnp.concatenate(
             [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my, mz,
@@ -239,7 +274,7 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
                 pr2 = plane_ref[:]
                 vert = (
                     (alive_ref[:] > 0.5)
-                    & (zone0_t > 0.5)
+                    & zone0_p
                     & (pr2[:, 2:3] < jnp.float32(p.uprightness_thr))
                 ).astype(jnp.float32)
                 snap_ref[:, slot * 5 : slot * 5 + 5] = jnp.concatenate(
@@ -257,7 +292,9 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             out_ref[:, OUT_N:OUT_N + 1] = pr[:, 4:5]
             out_ref[:, OUT_COV:OUT_COV + 6] = pr[:, 5:11]
             out_ref[:, OUT_SNAP:OUT_SNAP + 15] = snap_ref[:, 0:15]
-            out_ref[:, 35:OUT_COLS] = jnp.zeros((nt, OUT_COLS - 35), jnp.float32)
+            out_ref[:, 35:OUT_COLS] = jnp.zeros(
+                (SPAD, OUT_COLS - 35), jnp.float32
+            )
 
     return kernel
 
@@ -266,12 +303,23 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
     jax.jit, static_argnames=("params", "num_zone0_patches", "interpret")
 )
 def fused_fit_grid(
-    xs, ys, zs, valid_f, tile_patch, gates_t, consts,
+    xs, ys, zs, valid_f, tile_patch, gates_t, gates_p, consts,
     params: Params,
     num_zone0_patches: int,
     interpret: bool = False,
 ):
-    """Grid-ified fused fit loop (see fused_fit_scan for argument shapes)."""
+    """Grid-ified fused fit loop.
+
+    Args:
+      xs, ys, zs, valid_f: (NT, 128) f32 tiled point data.
+      tile_patch: (NT, 1) int32 patch owning each tile.
+      gates_t: (NT, 8) f32 per-tile [processed, shift_x/y/z, zone0, 0..].
+      gates_p: (SPAD, 8) f32 per-patch [processed, shift_x/y/z, 0..].
+      consts: (1, 8) f32: [margin_thr, ...].
+
+    Returns:
+      (SPAD, 48) f32 per-patch result table (see fit_kernel OUT_* layout).
+    """
     nt = xs.shape[0]
     npasses, kind, peel, snap, gate_alive, final, th_arr = _pass_config(params)
 
@@ -282,7 +330,9 @@ def fused_fit_grid(
         > jnp.arange(nt, dtype=jnp.int32)[None, :]
     )
     lb = (same & lower).astype(jnp.bfloat16)  # strict-lower: exclusive prefix
-    sb = same.astype(jnp.bfloat16)            # L + L^T + I: patch totals
+    oh = (
+        tpc[:, None] == jnp.arange(SPAD, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)                    # tile -> patch one-hot
 
     kernel = make_fit_kernel_grid(params, nt, num_zone0_patches)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -293,33 +343,33 @@ def fused_fit_grid(
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, nt), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, nt), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, SPAD), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SPAD, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nt, OUT_COLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            (SPAD, OUT_COLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((nt, LANE), jnp.float32),  # active
-            pltpu.VMEM((nt, 16), jnp.float32),    # plane carry
-            pltpu.VMEM((nt, 1), jnp.float32),     # alive
-            pltpu.VMEM((nt, 16), jnp.float32),    # snapshots
-            pltpu.VMEM((nt, LANE), jnp.float32),  # fit mask
+            pltpu.VMEM((nt, LANE), jnp.float32),   # active
+            pltpu.VMEM((SPAD, 16), jnp.float32),   # plane carry
+            pltpu.VMEM((SPAD, 1), jnp.float32),    # alive
+            pltpu.VMEM((SPAD, 16), jnp.float32),   # snapshots
+            pltpu.VMEM((nt, LANE), jnp.float32),   # fit mask
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, OUT_COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((SPAD, OUT_COLS), jnp.float32),
         # All blocks are whole-array with constant index maps; the kernel's
-        # working set (~39 MB at NT=1532: the two (NT,NT) segment matrices
-        # (strict-lower for prefixes, symmetric for totals) + the tiled
-        # point planes + scratch) exceeds the default 16 MB *scoped* vmem
-        # budget but fits comfortably in the 128 MB physical VMEM of a v5e
-        # core, so raise the scoped limit explicitly.
+        # working set (~30 MB at NT=1532: the (NT,NT) strict-lower prefix
+        # matrix + the (NT,SPAD) one-hot + the tiled point planes + scratch)
+        # exceeds the default 16 MB *scoped* vmem budget but fits comfortably
+        # in the 128 MB physical VMEM of a v5e core, so raise the scoped
+        # limit explicitly.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -327,5 +377,5 @@ def fused_fit_grid(
     )(
         jnp.asarray(kind), jnp.asarray(peel), jnp.asarray(snap),
         jnp.asarray(gate_alive), jnp.asarray(final), jnp.asarray(th_arr),
-        xs, ys, zs, valid_f, tile_patch, lb, sb, gates_t, consts,
+        xs, ys, zs, valid_f, lb, oh, gates_t, gates_p, consts,
     )

@@ -501,8 +501,16 @@ def make_frame_fn(
         valid_f = tp.valid.astype(jnp.float32).reshape(nt, 128)
         tile_patch = jnp.minimum(tp.tile_patch, SPAD - 1).reshape(nt, 1)
 
+        # Col 4 carries the zone-0 flag so tile-level kernels can read it
+        # from the per-tile gates lookup (sentinel tiles clamp to patch
+        # SPAD-1, which is never zone 0). Cols 0-3 are shared with the
+        # "onehot"/"scan" kernels; they ignore col 4.
+        zone0_f = (sid < tables.num_zone0).astype(jnp.float32)
         gates = jnp.concatenate(
-            [proc_f[:, None], shift_tab, jnp.zeros((SPAD, 4), jnp.float32)],
+            [
+                proc_f[:, None], shift_tab, zone0_f[:, None],
+                jnp.zeros((SPAD, 3), jnp.float32),
+            ],
             axis=1,
         )
         margin_thr = (
@@ -524,18 +532,24 @@ def make_frame_fn(
 
             with jax.named_scope("stage_fused_fit"):
                 gates_t = patch_lookup(gates, tile_patch[:, 0])  # (NT, 8)
-                runner = (
-                    fks.fused_fit_scan if fused == "scan" else fkg.fused_fit_grid
-                )
-                out_t = runner(
-                    xs, ys, zs, valid_f, tile_patch, gates_t, consts,
-                    params=p, num_zone0_patches=tables.num_zone0,
-                    interpret=interpret,
-                )
-                head = jnp.clip(
-                    (tp.pad_start[:SPAD] // TILE).astype(jnp.int32), 0, nt - 1
-                )
-                out = out_t[head]
+                if fused == "scan":
+                    out_t = fks.fused_fit_scan(
+                        xs, ys, zs, valid_f, tile_patch, gates_t, consts,
+                        params=p, num_zone0_patches=tables.num_zone0,
+                        interpret=interpret,
+                    )
+                    head = jnp.clip(
+                        (tp.pad_start[:SPAD] // TILE).astype(jnp.int32),
+                        0, nt - 1,
+                    )
+                    out = out_t[head]
+                else:  # "grid": patch-level output, no head-row gather
+                    out = fkg.fused_fit_grid(
+                        xs, ys, zs, valid_f, tile_patch, gates_t, gates,
+                        consts, params=p,
+                        num_zone0_patches=tables.num_zone0,
+                        interpret=interpret,
+                    )
                 out = jnp.where(counts[:, None] > 0, out, 0.0)
 
         normal = out[:, fk.OUT_NORMAL : fk.OUT_NORMAL + 3]
