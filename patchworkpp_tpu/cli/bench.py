@@ -6,14 +6,18 @@ Baseline: the unmodified C++ reference compiled -O3 runs 29.8 scans/s on one
 Xeon core over the same six scans (BASELINE.md). The measured configuration
 matches `demo_sequential` semantics: one engine (the fused Pallas fit kernel
 on TPU — make_frame_fn's auto default), adaptive state carried across frames
-in order. The state chain makes every frame's execution depend on the
-previous one, so no execution can be elided or served from a result cache,
-and one scalar fetch at the end is a sound synchronization point. (In this
-sandbox the TPU is tunneled: bulk D2H runs at ~2.5 MB/s and
-`block_until_ready` does not reliably block, so per-frame fetches — even of
-the int32 ground count — would measure the tunnel's ~6 ms round-trip, not
-the engine. On a directly-attached TPU the 128 KB mask is a trivially
-overlapped PCIe transfer.)
+in order. Each 6-scan epoch runs as one `make_sequence_fn` dispatch (a
+lax.scan with the state as carry — bitwise-equal to the per-frame loop,
+asserted in tests/test_pipeline_golden.py::test_sequence_fn_matches_frame
+_loop), so the tunnel's per-dispatch overhead (~0.3 ms) is amortized and
+the number measures the engine, not the relay. The state chain makes every
+frame's execution depend on the previous one, so no execution can be elided
+or served from a result cache, and one scalar fetch at the end is a sound
+synchronization point. (In this sandbox the TPU is tunneled: bulk D2H runs
+at ~2.5 MB/s and `block_until_ready` does not reliably block, so per-frame
+fetches — even of the int32 ground count — would measure the tunnel's ~6 ms
+round-trip, not the engine. On a directly-attached TPU the 128 KB mask is a
+trivially overlapped PCIe transfer.)
 
 The adaptive sensor height is fetched before and after the timed loop and
 asserted to move: proof the chain really executed frame by frame.
@@ -35,32 +39,31 @@ def main() -> None:
     import jax.numpy as jnp
 
     from patchworkpp_tpu import Params, init_state
-    from patchworkpp_tpu.pipeline import make_frame_fn
+    from patchworkpp_tpu.pipeline import make_sequence_fn
 
-    scans = []
+    stack = np.zeros((6, CAPACITY, 4), np.float32)
+    npts = np.zeros((6,), np.int32)
     for i in range(6):
         pts = np.fromfile(f"{DATA_DIR}/{i:06d}.bin", np.float32).reshape(-1, 4)
-        padded = np.zeros((CAPACITY, 4), np.float32)
-        padded[: len(pts)] = pts
-        scans.append((jnp.asarray(padded), jnp.int32(len(pts))))
+        stack[i, : len(pts)] = pts
+        npts[i] = len(pts)
+    stack = jnp.asarray(stack)
+    npts = jnp.asarray(npts)
 
     params = Params()
-    fn = jax.jit(make_frame_fn(params))  # fused auto: grid kernel on TPU
-    state = init_state(params)
+    ep = jax.jit(make_sequence_fn(params))  # fused auto: grid kernel on TPU
 
     # Warmup: compile + two full epochs; scalar fetch forces completion.
-    st = state
+    st = init_state(params)
     for _ in range(2):
-        for x, n in scans:
-            st, res = fn(st, x, n)
+        st, _ = ep(st, stack, npts)
     sh_warm = float(st.sensor_height)
 
     frames = 0
     t0 = time.perf_counter()
     for _ in range(TIMED_EPOCHS):
-        for x, n in scans:
-            st, res = fn(st, x, n)
-            frames += 1
+        st, _ = ep(st, stack, npts)
+        frames += 6
     sh_final = float(st.sensor_height)  # single scalar D2H: the sync point
     dt = time.perf_counter() - t0
     assert sh_final != sh_warm, "state did not advance — loop was elided?"

@@ -589,6 +589,41 @@ def make_frame_fn(
     return frame_fused if fused else frame
 
 
+def make_sequence_fn(
+    params: Params,
+    geom: CZMGeometry | None = None,
+    comm: FrameComm | None = None,
+    fused: bool | None = None,
+    interpret: bool = False,
+):
+    """Build ``fn(state, stack, npts) -> (state, ground_masks)``: a
+    lax.scan of the frame step over a (B, P, 4) stack of scans.
+
+    Semantically identical to calling the frame fn B times in order (the
+    adaptive state is the scan carry, so every frame depends on the
+    previous — bitwise-equal states and labels), but the whole chain is ONE
+    device program: one dispatch amortizes the per-call host/launch
+    overhead across B frames (~0.3 ms/frame on a tunneled chip, still tens
+    of us on directly attached hardware). This is the throughput driver for
+    sequential streams — the reference's demo_sequential loop
+    (python/examples/demo_sequential.py:30) with the dispatch hoisted out.
+
+    Returns the final state and the (B, P) bool ground masks.
+    """
+    frame = make_frame_fn(
+        params, geom=geom, comm=comm, fused=fused, interpret=interpret
+    )
+
+    def sequence(state: AdaptiveState, stack: jnp.ndarray, npts: jnp.ndarray):
+        def step(st, xn):
+            x, n = xn
+            st2, res = frame(st, x, n)
+            return st2, res.ground_mask
+
+        return jax.lax.scan(step, state, (stack, npts))
+
+    return sequence
+
 
 def _append_ring(buf, cnt, vals, acc_mask, max_storage, do_trim):
     """FIFO append + conditional trim for one adaptive ring buffer.

@@ -98,6 +98,37 @@ def test_full_resolution_golden(scans, golden):
         np.testing.assert_array_equal(res.ground_indices, ref, err_msg=name)
 
 
+def test_sequence_fn_matches_frame_loop(scans):
+    """make_sequence_fn (one scan-dispatched chain — the bench driver) must
+    be bitwise-equal to the per-frame loop: same masks, same final state."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu.pipeline import make_frame_fn, make_sequence_fn
+
+    p = Params()
+    names = SCAN_NAMES[:3]
+    stack = np.zeros((len(names), CAPACITY, 4), np.float32)
+    npts = np.zeros((len(names),), np.int32)
+    for i, name in enumerate(names):
+        cloud = scans[name][::SUB]
+        stack[i, : len(cloud)] = cloud
+        npts[i] = len(cloud)
+
+    seq = jax.jit(make_sequence_fn(p))
+    st_seq, masks = seq(init_state(p), jnp.asarray(stack), jnp.asarray(npts))
+
+    frame = jax.jit(make_frame_fn(p))
+    st = init_state(p)
+    for i in range(len(names)):
+        st, res = frame(st, jnp.asarray(stack[i]), jnp.int32(npts[i]))
+        np.testing.assert_array_equal(
+            np.asarray(masks[i]), np.asarray(res.ground_mask), err_msg=names[i]
+        )
+    for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_long_horizon_trim_parity(scans):
     """Bounded, non-accumulating drift PAST the FIFO trim of the ring buffers.
 
