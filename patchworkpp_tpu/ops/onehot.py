@@ -48,6 +48,14 @@ def patch_onehot(patch_id: jnp.ndarray, width: int = SPAD) -> jnp.ndarray:
 def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     """Broadcast per-patch values to points: result[i] = table[patch_id[i]].
 
+    One DEFAULT-precision bf16 dot instead of a HIGHEST-precision f32 one
+    (~6 bf16 passes, was 170 us/frame at P=131k, C=21): the f32 table is
+    chop-split into three bf16 parts (8+8+8 significand bits) packed along
+    the column axis, and the part slices are re-summed after the dot. A
+    lookup row has exactly ONE contributing addend, so (hi+mid)+lo
+    reconstructs every normal-range f32 bitwise (Dekker); out-of-range ids
+    still produce an all-zero row.
+
     Args:
       table: (S, C) float32 (S == SPAD).
       patch_id: (P,) int32 in [0, S).
@@ -55,7 +63,36 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (P, C) float32.
     """
-    return jnp.dot(patch_onehot(patch_id, table.shape[0]), table, precision=_PREC)
+    # The chop-split is done with INTEGER bit ops, not float converts: XLA
+    # elides convert(convert(x, bf16), f32) round-trips as a no-op
+    # (verified on TPU — the residual parts silently became zero and the
+    # lookup returned bf16(x)), and its bf16-propagation pass demotes f32
+    # arithmetic sandwiched between bf16 converts. A bf16 value is exactly
+    # the top 16 bits of the f32 pattern, so truncation masks/shifts give
+    # the same exact 8+8+8-significand-bit split with nothing to elide.
+    def _chop(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        part = jax.lax.bitcast_convert_type(
+            (bits >> 16).astype(jnp.int16), jnp.bfloat16
+        )
+        kept = jax.lax.bitcast_convert_type(
+            bits & jnp.int32(-65536), jnp.float32
+        )
+        return part, x - kept
+
+    hi, r1 = _chop(table)
+    mid, r2 = _chop(r1)
+    lo, _ = _chop(r2)  # r2 fits 8 significand bits: truncation is exact
+    packed = jnp.concatenate([hi, mid, lo], axis=1)  # (S, 3C) bf16
+    _SITE[0] += 1
+    iota = jnp.arange(table.shape[0], dtype=patch_id.dtype)
+    iota = jax.lax.optimization_barrier(iota + jnp.int32(_SITE[0])) - jnp.int32(
+        _SITE[0]
+    )
+    oh = (patch_id[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    d = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
+    c = table.shape[1]
+    return d[:, :c] + d[:, c : 2 * c] + d[:, 2 * c :]
 
 
 def patch_reduce(feats: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) -> jnp.ndarray:
