@@ -44,21 +44,28 @@ class TiledPoints(NamedTuple):
     pad_start: jnp.ndarray   # (SPAD+1,) int32: tile-aligned run starts
 
 
-def build_tiled(xyz: jnp.ndarray, patch_id: jnp.ndarray) -> TiledPoints:
+def build_tiled(
+    xyz: jnp.ndarray,
+    patch_id: jnp.ndarray,
+    counts: jnp.ndarray | None = None,
+) -> TiledPoints:
     """Sort points into the tiled layout.
 
     Args:
       xyz: (P, 3) f32 points (original order).
       patch_id: (P,) int32 in [0, SPAD).
+      counts: optional precomputed (SPAD,) f32 per-patch counts (must equal
+        patch_reduce(ones, patch_id) — e.g. binning.factored_patch_counts);
+        computed here when absent.
     """
     p = xyz.shape[0]
     pt = tiled_capacity(p)
     nfill = pt - p
 
     # Real per-patch counts and the padded (tile-aligned) run lengths.
-    counts_i = patch_reduce(jnp.ones((p, 1), jnp.float32), patch_id)[:, 0].astype(
-        jnp.int32
-    )
+    if counts is None:
+        counts = patch_reduce(jnp.ones((p, 1), jnp.float32), patch_id)[:, 0]
+    counts_i = counts.astype(jnp.int32)
     padded = -(-counts_i // TILE) * TILE  # ceil to tile multiple; 0 stays 0
     pad_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]

@@ -41,7 +41,7 @@ import numpy as np
 
 from patchworkpp_tpu.params import CZMGeometry, Params
 from patchworkpp_tpu.state import AdaptiveState
-from patchworkpp_tpu.ops.binning import bin_points
+from patchworkpp_tpu.ops.binning import bin_points, factored_patch_counts
 from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup, patch_reduce
 from patchworkpp_tpu.ops.segments import (
     SortedPoints,
@@ -489,7 +489,9 @@ def make_frame_fn(
         xyz_o = points[:, :3]
 
         with jax.named_scope("stage_sort"):
-            tp = build_tiled(xyz_o, pid_o)
+            tp = build_tiled(
+                xyz_o, pid_o, counts=factored_patch_counts(bins, geom)
+            )
         counts = tp.counts
         processed = (counts >= p.num_min_pts) & (sid < npz)
         proc_f = jnp.where(processed, 1.0, 0.0)
