@@ -1,10 +1,11 @@
 """Grid-ified fused fit kernel: the pass program runs as the Pallas grid.
 
-The unrolled fused kernels (fit_kernel.py, fit_kernel_scan.py) are
-semantically complete and oracle-exact, but Mosaic compiles their ~11
-unrolled passes for >40 minutes on this toolchain. Here each grid step
-executes ONE pass, and the body contains each pass *kind* exactly once —
-compiled code size is independent of the number of passes:
+The unrolled fused kernel (fit_kernel.py) is semantically complete and
+oracle-exact, but Mosaic compiles its ~11 unrolled passes for >40 minutes
+on this toolchain (an unrolled segment-matrix variant, since removed, had
+the same pathology). Here each grid step executes ONE pass, and the body
+contains each pass *kind* exactly once — compiled code size is independent
+of the number of passes:
 
   grid = (len(pass_program),)
   kind/config per pass arrive as scalar-prefetch arrays (SMEM); the per-pass
@@ -34,11 +35,11 @@ Patch-level state: fit state (plane carry, alive, snapshots, LPR) lives at
     prefix (no cheaper shape exists for a cross-tile prefix without Mosaic
     roll pathologies).
 
-Broadcast exactness: f32 payloads ride the bf16x3 split (fit_kernel_scan
-_split3) packed into one wide dot. A broadcast row has exactly ONE
-contributing addend, and chop-splitting into 8+8+8 significand bits makes
-(hi+mid)+lo reconstruct the f32 value bitwise (Dekker), so per-tile plane /
-LPR / gate values equal the per-patch originals exactly.
+Broadcast exactness: f32 payloads ride the bf16x3 split (movement._split3)
+packed into one wide dot. A broadcast row has exactly ONE contributing
+addend, and chop-splitting into 8+8+8 significand bits makes (hi+mid)+lo
+reconstruct the f32 value bitwise (Dekker), so per-tile plane / LPR / gate
+values equal the per-patch originals exactly.
 """
 
 from __future__ import annotations
@@ -67,7 +68,7 @@ from patchworkpp_tpu.ops.pallas.fit_kernel import (
     _plane_from_cov,
     build_pass_program,
 )
-from patchworkpp_tpu.ops.pallas.fit_kernel_scan import (
+from patchworkpp_tpu.ops.pallas.movement import (
     _seg_dots,
     _prior_exclusive,
 )

@@ -506,7 +506,7 @@ def make_frame_fn(
         # Col 4 carries the zone-0 flag so tile-level kernels can read it
         # from the per-tile gates lookup (sentinel tiles clamp to patch
         # SPAD-1, which is never zone 0). Cols 0-3 are shared with the
-        # "onehot"/"scan" kernels; they ignore col 4.
+        # "onehot" kernel; it ignores col 4.
         zone0_f = (sid < tables.num_zone0).astype(jnp.float32)
         gates = jnp.concatenate(
             [
@@ -527,31 +527,17 @@ def make_frame_fn(
                     params=p, num_zone0_patches=tables.num_zone0,
                     interpret=interpret,
                 )
-        else:  # "grid" (default fused mode) or "scan"
-            from patchworkpp_tpu.ops.pallas import fit_kernel_scan as fks
+        else:  # "grid" (default fused mode): patch-level output table
             from patchworkpp_tpu.ops.pallas import fit_kernel_grid as fkg
-            from patchworkpp_tpu.ops.tiled import TILE
 
             with jax.named_scope("stage_fused_fit"):
                 gates_t = patch_lookup(gates, tile_patch[:, 0])  # (NT, 8)
-                if fused == "scan":
-                    out_t = fks.fused_fit_scan(
-                        xs, ys, zs, valid_f, tile_patch, gates_t, consts,
-                        params=p, num_zone0_patches=tables.num_zone0,
-                        interpret=interpret,
-                    )
-                    head = jnp.clip(
-                        (tp.pad_start[:SPAD] // TILE).astype(jnp.int32),
-                        0, nt - 1,
-                    )
-                    out = out_t[head]
-                else:  # "grid": patch-level output, no head-row gather
-                    out = fkg.fused_fit_grid(
-                        xs, ys, zs, valid_f, tile_patch, gates_t, gates,
-                        consts, params=p,
-                        num_zone0_patches=tables.num_zone0,
-                        interpret=interpret,
-                    )
+                out = fkg.fused_fit_grid(
+                    xs, ys, zs, valid_f, tile_patch, gates_t, gates,
+                    consts, params=p,
+                    num_zone0_patches=tables.num_zone0,
+                    interpret=interpret,
+                )
                 out = jnp.where(counts[:, None] > 0, out, 0.0)
 
         normal = out[:, fk.OUT_NORMAL : fk.OUT_NORMAL + 3]

@@ -152,27 +152,40 @@ def test_trig_polynomials_accuracy():
     assert np.abs(c_hi - np.cos(phi + 2 * np.pi / 3)).max() < 5e-7
 
 
-def test_patch_total_sym_equals_mat():
-    """The precomputed symmetric segment matrix reproduces the patch totals
-    of the two-transpose form exactly on integer-valued payloads and to ulp
-    on float payloads."""
-    from patchworkpp_tpu.ops.pallas.fit_kernel_scan import (
-        _patch_total_mat, _patch_total_sym,
-    )
+def test_movement_dots_exact():
+    """The kernel's one-hot MXU movement (ops/pallas/movement.py): patch
+    reductions are exact on integer payloads, broadcasts reconstruct every
+    f32 bitwise (single addend through the bf16x3 chop split), and the
+    strict-lower prefix matches a direct segmented cumsum."""
+    from patchworkpp_tpu.ops.pallas.movement import _seg_dots, _prior_exclusive
 
     rng = np.random.default_rng(3)
-    nt = 96
-    tpc = np.sort(rng.integers(0, 17, nt)).astype(np.int32)
-    same = tpc[:, None] == tpc[None, :]
-    lower = np.arange(nt)[:, None] > np.arange(nt)[None, :]
-    lb = jnp.asarray((same & lower).astype(np.float32), jnp.bfloat16)
-    sb = jnp.asarray(same.astype(np.float32), jnp.bfloat16)
-    v_int = jnp.asarray(rng.integers(0, 200, (nt, 10)).astype(np.float32))
+    nt, spad = 96, 17
+    tpc = np.sort(rng.integers(0, spad, nt)).astype(np.int32)
+    oh_np = (tpc[:, None] == np.arange(spad)[None, :]).astype(np.float32)
+    oh = jnp.asarray(oh_np, jnp.bfloat16)
+
+    # Reduce: integer payloads sum exactly.
+    v_int = rng.integers(0, 200, (nt, 10)).astype(np.float32)
     np.testing.assert_array_equal(
-        np.asarray(_patch_total_mat(lb, v_int)),
-        np.asarray(_patch_total_sym(sb, v_int)),
+        np.asarray(_seg_dots(oh, jnp.asarray(v_int), transpose=True)),
+        oh_np.T @ v_int,
     )
-    v_f = jnp.asarray(rng.normal(0, 30, (nt, 10)).astype(np.float32))
-    a = np.asarray(_patch_total_mat(lb, v_f))
-    b = np.asarray(_patch_total_sym(sb, v_f))
-    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-4)
+
+    # Broadcast: arbitrary-magnitude f32 values come back bitwise.
+    w = (rng.standard_normal((spad, 5)) * np.exp(
+        rng.uniform(-30, 30, (spad, 5))
+    )).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_seg_dots(oh, jnp.asarray(w), transpose=False)), w[tpc]
+    )
+
+    # Exclusive same-segment prefix vs direct computation.
+    lower = np.arange(nt)[:, None] > np.arange(nt)[None, :]
+    same = tpc[:, None] == tpc[None, :]
+    lb = jnp.asarray((same & lower).astype(np.float32), jnp.bfloat16)
+    m = rng.integers(0, 128, (nt, 1)).astype(np.float32)
+    ref = (same & lower).astype(np.float32) @ m
+    np.testing.assert_array_equal(
+        np.asarray(_prior_exclusive(lb, jnp.asarray(m))), ref
+    )
