@@ -138,6 +138,81 @@ class PatchworkPP:
             time_taken_s=dt,
         )
 
+    def estimate_ground_sequence(self, clouds) -> list:
+        """Segment an ordered batch of scans as ONE device dispatch.
+
+        Bitwise-equal to calling :meth:`estimate_ground` on each cloud in
+        order (the adaptive state is the lax.scan carry — see
+        pipeline.make_sequence_fn), but the whole chain is one compiled
+        program, amortizing per-call dispatch overhead. Use this when scans
+        are available in batches (offline processing, log replay); use
+        :meth:`estimate_ground` for live streams.
+
+        Args:
+          clouds: sequence of (N_i, 3|4) float32 scans (RNR gates off for
+            the whole batch if ANY cloud lacks intensity, to keep one
+            compiled program).
+
+        Returns: list of :class:`SegmentationResult` (time_taken_s holds the
+        whole batch's wall time on the first entry, 0.0 on the rest).
+        """
+        from patchworkpp_tpu.pipeline import make_sequence_fn
+
+        clouds = [np.asarray(c, np.float32) for c in clouds]
+        if not clouds:
+            return []
+        for c in clouds:
+            if c.ndim != 2 or c.shape[1] not in (3, 4):
+                raise ValueError(f"cloud must be (N,3) or (N,4); got {c.shape}")
+        nmax = max(c.shape[0] for c in clouds)
+        cap = self._fixed_capacity or _round_capacity(nmax)
+        if nmax > cap:
+            raise ValueError(f"scan has {nmax} points > fixed capacity {cap}")
+        enable_rnr = self.params.enable_RNR and all(
+            c.shape[1] >= 4 for c in clouds
+        )
+
+        key = ("seq", enable_rnr, cap, len(clouds))
+        fn = self._fns.get(key)
+        if fn is None:
+            p = self.params if enable_rnr == self.params.enable_RNR else (
+                self.params.replace(enable_RNR=enable_rnr)
+            )
+            fn = jax.jit(make_sequence_fn(p, self.geom, fused=self._fused))
+            self._fns[key] = fn
+
+        stack = np.zeros((len(clouds), cap, 4), np.float32)
+        npts = np.zeros((len(clouds),), np.int32)
+        for i, c in enumerate(clouds):
+            stack[i, : c.shape[0], : c.shape[1]] = c
+            npts[i] = c.shape[0]
+        x = jnp.asarray(stack)
+        if self._device is not None:
+            x = jax.device_put(x, self._device)
+        t0 = time.perf_counter()
+        new_state, masks = fn(self.state, x, jnp.asarray(npts))
+        masks.block_until_ready()
+        dt = time.perf_counter() - t0
+        self.state = new_state
+
+        out = []
+        masks = np.asarray(masks)
+        for i, c in enumerate(clouds):
+            mask = masks[i, : c.shape[0]]
+            gi = np.flatnonzero(mask).astype(np.int32)
+            ngi = np.flatnonzero(~mask).astype(np.int32)
+            out.append(
+                SegmentationResult(
+                    ground_mask=mask,
+                    ground_indices=gi,
+                    nonground_indices=ngi,
+                    centers=np.zeros((0, 3), np.float32),
+                    normals=np.zeros((0, 3), np.float32),
+                    time_taken_s=dt if i == 0 else 0.0,
+                )
+            )
+        return out
+
     # ------------------------------------------------------------- profiling
 
     def profile_stages(self, cloud: np.ndarray, frames: int = 3):

@@ -129,6 +129,19 @@ def test_sequence_fn_matches_frame_loop(scans):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_model_sequence_api_matches_loop(scans):
+    """PatchworkPP.estimate_ground_sequence == the per-frame loop."""
+    m_seq = PatchworkPP(capacity=CAPACITY)
+    m_loop = PatchworkPP(capacity=CAPACITY)
+    clouds = [scans[name][::SUB] for name in SCAN_NAMES[:3]]
+    results = m_seq.estimate_ground_sequence(clouds)
+    assert len(results) == 3
+    for cloud, rs in zip(clouds, results):
+        rl = m_loop.estimate_ground(cloud)
+        np.testing.assert_array_equal(rs.ground_mask, rl.ground_mask)
+    assert m_seq.sensor_height == m_loop.sensor_height
+
+
 def test_long_horizon_trim_parity(scans):
     """Bounded, non-accumulating drift PAST the FIFO trim of the ring buffers.
 
