@@ -341,28 +341,35 @@ def make_frame_fn(
 
         # ---- per-point labels, computed directly in ORIGINAL order (C13).
         # Replays the peel tests and the final distance test against the saved
-        # per-patch plane tables — no inverse-permutation scatter.
+        # per-patch plane tables — no inverse-permutation scatter. The table
+        # is kept narrow (17 cols) since the per-point lookup and its readback
+        # are HBM-bound: the two flags pack into one code column
+        # (2*processed + ground), and each R-VPF snapshot's gate folds into a
+        # sentinel plane [0,0,0,1e30] whose |distance| can never pass the
+        # peel threshold.
         patch_ground_f = jnp.where(ground_patch | revert_patch, 1.0, 0.0)
+        code = 2.0 * proc_f + patch_ground_f
+        sentinel = jnp.asarray([0.0, 0.0, 0.0, 1e30], jnp.float32)
+        vpf_cols = [
+            jnp.where(t[:, 4:5] > 0.5, t[:, 0:4], sentinel[None, :])
+            for t in vpf_tables
+        ]
         label_tab = jnp.concatenate(
-            [final_plane_tab, jnp.stack([patch_ground_f, proc_f], axis=1)]
-            + vpf_tables,
-            axis=1,
+            [final_plane_tab, code[:, None]] + vpf_cols, axis=1
         )
         lk = patch_lookup(label_tab, pid_o)
         dist_o = jnp.sum(xyz_o * lk[:, :3], axis=1) + lk[:, 3]
-        in_proc = lk[:, 5] > 0.5
+        in_proc = lk[:, 4] > 1.5
         peeled = jnp.zeros(npoints, bool)
         for it in range(len(vpf_tables)):
-            c0 = 6 + 5 * it
+            c0 = 5 + 4 * it
             dist_v = jnp.sum(xyz_o * lk[:, c0 : c0 + 3], axis=1) + lk[:, c0 + 3]
-            peeled = peeled | (
-                (lk[:, c0 + 4] > 0.5) & (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
-            )
+            peeled = peeled | (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
         ground = (
             in_proc
             & ~peeled
             & (dist_o < jnp.float32(p.th_dist))
-            & (lk[:, 4] > 0.5)
+            & (lk[:, 4] > 2.5)
         )
 
         result = FrameResult(
