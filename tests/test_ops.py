@@ -189,3 +189,45 @@ def test_movement_dots_exact():
     np.testing.assert_array_equal(
         np.asarray(_prior_exclusive(lb, jnp.asarray(m))), ref
     )
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_no_point_sized_gathers_in_frame(fused):
+    """Structural guard for the repo's data-movement rule: on TPU, P-sized
+    gathers/scatter-adds in a composed program lower to a row-at-a-time
+    emitter (~1 ms per op at 131k points). Walk the traced frame program and
+    assert every gather/scatter indexes far fewer rows than the point count
+    (allowed: SPAD-level table maps, tile-head strided slices)."""
+    from patchworkpp_tpu import init_state
+    from patchworkpp_tpu.pipeline import make_frame_fn
+
+    p = Params()
+    cap = 16384
+    fn = make_frame_fn(p, fused=fused, interpret=True)
+    jx = jax.make_jaxpr(fn)(
+        init_state(p), jnp.zeros((cap, 4), jnp.float32), jnp.int32(cap - 100)
+    )
+
+    offenders = []
+
+    def walk(jaxpr):
+        for eq in jaxpr.eqns:
+            if eq.primitive.name in ("gather", "scatter", "scatter-add"):
+                idx_rows = [
+                    v.aval.shape[0]
+                    for v in eq.invars
+                    if hasattr(v.aval, "shape")
+                    and len(v.aval.shape) == 2
+                    and v.aval.shape[1] == 1
+                ]
+                rows = max(idx_rows, default=0)
+                if rows > cap // 4:
+                    offenders.append((eq.primitive.name, rows))
+            for key, val in eq.params.items():
+                if key in ("jaxpr", "call_jaxpr", "cond_jaxpr", "body_jaxpr",
+                           "branches"):
+                    for x in val if isinstance(val, (list, tuple)) else [val]:
+                        walk(x.jaxpr if hasattr(x, "jaxpr") else x)
+
+    walk(jx.jaxpr)
+    assert not offenders, f"P-scale gathers/scatters found: {offenders}"
