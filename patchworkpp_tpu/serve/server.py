@@ -55,6 +55,12 @@ class ServerConfig:
     capacity: int = 131072       # static device buffer (points per scan)
     queue_depth: int = 4         # bounded input queue (drops oldest when full)
     drop_when_full: bool = True  # real-time mode: prefer freshness to backlog
+    # Throughput mode: when a backlog of >= batch_max scans is queued, run
+    # them as ONE device dispatch (model.estimate_ground_sequence — bitwise
+    # equal to the per-frame loop, amortizes per-call overhead). Only the
+    # exact size batch_max is ever batched, so at most two programs compile
+    # (B=1 and B=batch_max). 1 disables batching (live/low-latency mode).
+    batch_max: int = 1
 
 
 class GroundSegmentationServer:
@@ -128,17 +134,39 @@ class GroundSegmentationServer:
     # ------------------------------------------------------------------ worker
 
     def _run(self) -> None:
-        while True:
+        stopped = False
+        while not stopped:
             msg = self._queue.get()
             if msg is None or not self._running:
                 break
+            batch = [msg]
+            # Backlog batching: drain up to batch_max pending scans and run
+            # them as one sequence dispatch. Batch only at the exact size so
+            # a second program (B=batch_max) compiles once and is reused.
+            while len(batch) < self.config.batch_max:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stopped = True
+                    break
+                batch.append(nxt)
             t0 = time.perf_counter()
-            result = self._model.estimate_ground(msg.points)
+            if len(batch) == self.config.batch_max and len(batch) > 1:
+                results = self._model.estimate_ground_sequence(
+                    [m.points for m in batch]
+                )
+            else:
+                results = [self._model.estimate_ground(m.points) for m in batch]
             latency = time.perf_counter() - t0
-            self.frames_processed += 1
-            out = ResultMsg(msg=msg, result=result, latency_s=latency)
-            for cb in self._subs:
-                cb(out)
+            self.frames_processed += len(batch)
+            for m, r in zip(batch, results):
+                out = ResultMsg(msg=m, result=r, latency_s=latency)
+                for cb in self._subs:
+                    cb(out)
+            if not self._running:
+                break
 
     # ------------------------------------------------------------------ sync API
 

@@ -78,3 +78,37 @@ def test_server_requires_start(scans):
     srv = GroundSegmentationServer(config=ServerConfig(capacity=8192))
     with pytest.raises(RuntimeError):
         srv.publish(CloudMsg(points=scans["000000"][::SUB], stamp=0.0))
+
+
+def test_server_backlog_batching_matches_sequential(scans):
+    """Throughput mode: a queued backlog drains through one sequence
+    dispatch; labels and adapted state must equal the per-frame path."""
+    from patchworkpp_tpu.models import PatchworkPP
+
+    names = ["000000", "000001", "000002", "000003"]
+    clouds = [scans[n][::SUB] for n in names]
+
+    results = []
+    done = threading.Event()
+    srv = GroundSegmentationServer(
+        config=ServerConfig(capacity=8192, queue_depth=8, batch_max=2)
+    )
+
+    def collect(out):
+        results.append(out)
+        if len(results) == len(names):
+            done.set()
+
+    srv.on_result(collect)
+    srv.start()
+    for name, cloud in zip(names, clouds):
+        srv.publish(CloudMsg(points=cloud, stamp=time.time()))
+    assert done.wait(timeout=600), "server did not process the backlog"
+    srv.stop()
+    assert srv.frames_processed == len(names)
+
+    ref = PatchworkPP(capacity=8192)
+    for out, cloud in zip(results, clouds):
+        r = ref.estimate_ground(cloud)
+        np.testing.assert_array_equal(out.result.ground_mask, r.ground_mask)
+    assert srv.sensor_height == ref.sensor_height
