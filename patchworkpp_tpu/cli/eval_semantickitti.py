@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=0, help="max frames (0 = all)")
     ap.add_argument("--capacity", type=int, default=131072)
     ap.add_argument("--json", action="store_true", help="one JSON line output")
+    ap.add_argument(
+        "--batch", type=int, default=1,
+        help="dispatch this many frames per device call "
+             "(estimate_ground_sequence — bitwise-equal to per-frame; "
+             "amortizes dispatch overhead for offline evaluation)",
+    )
     args = ap.parse_args()
 
     if args.root:
@@ -46,18 +52,29 @@ def main() -> None:
     tp = fp = fn_ = tn = 0
     times = []
     n_frames = len(ds) if args.limit == 0 else min(args.limit, len(ds))
-    for i in range(n_frames):
-        scan = ds.scan(i)
-        res = model.estimate_ground(scan)
-        times.append(res.time_taken_s)
-        labels = ds.labels(i)
-        if labels is not None:
-            gt = ground_truth_mask(labels)
-            r = evaluate_masks(res.ground_mask, gt)
-            tp += r.tp
-            fp += r.fp
-            fn_ += r.fn
-            tn += r.tn
+    i = 0
+    while i < n_frames:
+        if args.batch > 1 and i + args.batch <= n_frames:
+            idxs = range(i, i + args.batch)
+            results = model.estimate_ground_sequence(
+                [ds.scan(j) for j in idxs]
+            )
+            times.append(results[0].time_taken_s / len(results))
+        else:
+            idxs = range(i, i + 1)
+            res = model.estimate_ground(ds.scan(i))
+            times.append(res.time_taken_s)
+            results = [res]
+        for j, res in zip(idxs, results):
+            labels = ds.labels(j)
+            if labels is not None:
+                gt = ground_truth_mask(labels)
+                r = evaluate_masks(res.ground_mask, gt)
+                tp += r.tp
+                fp += r.fp
+                fn_ += r.fn
+                tn += r.tn
+        i += len(results)
 
     # Skip the first (compile) frame for latency stats.
     lat = np.asarray(times[1:] or times)

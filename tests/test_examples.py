@@ -65,6 +65,21 @@ def test_eval_harness_timing_only(capsys, monkeypatch, tmp_path):
     assert '"frames": 1' in out
 
 
+def test_eval_harness_batched_dispatch(capsys, monkeypatch, tmp_path):
+    for name in ["000000.bin", "000001.bin"]:
+        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["ppk-eval", "--scan-dir", str(tmp_path), "--json", "--batch", "2"],
+    )
+    from patchworkpp_tpu.cli import eval_semantickitti
+
+    eval_semantickitti.main()
+    out = capsys.readouterr().out
+    assert '"frames": 2' in out
+
+
 def test_example_shims_import():
     """The examples/ files must stay importable shims over the cli package."""
     import importlib.util
