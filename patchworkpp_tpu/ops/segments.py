@@ -27,13 +27,42 @@ class SortedPoints(NamedTuple):
     start: jnp.ndarray      # (S+1,) int32: start offset of each patch's run
 
 
-def sort_by_patch(xyz: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) -> SortedPoints:
-    """Stable sort points by (patch_id, z); overflow bucket lands at the end."""
-    pid_s, z_s, x_s, y_s = jax.lax.sort(
-        (patch_id, xyz[:, 2], xyz[:, 0], xyz[:, 1]),
-        num_keys=2,
-        is_stable=True,
+def z_sort_key(z: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving f32 -> uint32 bijection (sign-flip trick).
+
+    Float sort comparators pay NaN-aware total-order handling in every
+    stage of the sorting network; the integer image sorts identically for
+    NaN-free inputs (+inf maps to 0xFF800000, above all finite keys) and
+    :func:`z_sort_key_inverse` recovers the exact bits afterwards.
+    """
+    b = jax.lax.bitcast_convert_type(z, jnp.uint32)
+    return b ^ (
+        jnp.uint32(0x80000000)
+        | jnp.where(b >= jnp.uint32(0x80000000), jnp.uint32(0x7FFFFFFF), 0)
     )
+
+
+def z_sort_key_inverse(k: jnp.ndarray) -> jnp.ndarray:
+    b = k ^ (
+        jnp.uint32(0x80000000)
+        | jnp.where(k < jnp.uint32(0x80000000), jnp.uint32(0x7FFFFFFF), 0)
+    )
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def sort_by_patch(xyz: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) -> SortedPoints:
+    """Sort points by (patch_id, z); overflow bucket lands at the end.
+
+    Unstable (a stable TPU sort threads an extra iota tiebreaker through
+    the whole network); ties share identical (patch, z) keys and every
+    consumer treats a patch as a set, so labels are unchanged.
+    """
+    pid_s, zi_s, x_s, y_s = jax.lax.sort(
+        (patch_id, z_sort_key(xyz[:, 2]), xyz[:, 0], xyz[:, 1]),
+        num_keys=2,
+        is_stable=False,
+    )
+    z_s = z_sort_key_inverse(zi_s)
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
     # start[s] = #{i : pid_s[i] < s} for the sorted ids — derived from the
     # per-patch histogram (one fused one-hot MXU dot) instead of

@@ -96,31 +96,22 @@ def build_tiled(
     pay_x = jnp.concatenate([xyz[:, 0], jnp.zeros(nfill)])
     pay_y = jnp.concatenate([xyz[:, 1], jnp.zeros(nfill)])
 
-    # The z key rides as an order-preserving uint32 (sign-flip bijection):
-    # float comparators pay NaN-aware total-order handling in every stage of
-    # the sorting network; the integer image sorts identically for the
-    # NaN-free inputs this pipeline feeds and maps back exactly afterwards
-    # (+inf fillers map to 0xFF800000, still above all finite keys).
-    zb = jax.lax.bitcast_convert_type(key_z, jnp.uint32)
-    key_zi = zb ^ (
-        jnp.uint32(0x80000000)
-        | jnp.where(zb >= jnp.uint32(0x80000000), jnp.uint32(0x7FFFFFFF), 0)
-    )
-
+    # The z key rides as an order-preserving uint32 (segments.z_sort_key):
+    # integer comparators skip the NaN-aware total-order handling float keys
+    # pay in every stage of the sorting network, and the bijection maps back
+    # exactly afterwards (+inf fillers stay above all finite keys).
     # is_stable=False: a stable TPU sort threads an extra iota tiebreaker
     # through the whole sorting network (~25% more traffic, ~110 us/frame).
     # Instability only permutes rows with identical (patch, z) keys; every
     # downstream consumer treats a patch as a set (lane sums, LPR take of
     # equal-z rows), so labels are unchanged — golden parity stays exact
     # (12/12, TPU-verified).
+    from patchworkpp_tpu.ops.segments import z_sort_key, z_sort_key_inverse
+
     pid_s, zi_s, x_s, y_s = jax.lax.sort(
-        (key_pid, key_zi, pay_x, pay_y), num_keys=2, is_stable=False
+        (key_pid, z_sort_key(key_z), pay_x, pay_y), num_keys=2, is_stable=False
     )
-    zi_b = zi_s ^ (
-        jnp.uint32(0x80000000)
-        | jnp.where(zi_s < jnp.uint32(0x80000000), jnp.uint32(0x7FFFFFFF), 0)
-    )
-    z_s = jax.lax.bitcast_convert_type(zi_b, jnp.float32)
+    z_s = z_sort_key_inverse(zi_s)
     valid = ~jnp.isinf(z_s)
     z_s = jnp.where(valid, z_s, 0.0)
 
