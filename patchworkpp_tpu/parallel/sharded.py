@@ -49,7 +49,11 @@ def make_batch_frame_fn(params: Params, mesh: Mesh, axis: str = "frame"):
     a vmapped frame is 6.5x slower per frame even at local batch 1 (the unit
     leading dim degrades the sort / one-hot / Pallas lowerings), and a
     ``lax.map`` loop over local streams pays ~5 ms/iteration of loop
-    overhead (140 scans/s at B=2 vs 446 sequential). So: scale streams with
+    overhead (140 scans/s at B=2 vs 446 sequential; round-2 measurements —
+    the single-stream path is ~2.5x faster since, conclusion unchanged;
+    note lax.scan over FRAMES of one stream is fine: pipeline.make_sequence_fn
+    — the loop tax bites on dynamic-sliced stacked per-stream STATES, not on
+    a scalar-carried chain). So: scale streams with
     DEVICES via this function; to multiplex several streams on ONE device,
     round-robin them through a single-frame fn from the host — the frames
     interleave at full per-frame speed. Local batches > 1 still work here
