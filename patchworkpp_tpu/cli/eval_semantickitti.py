@@ -76,10 +76,13 @@ def main() -> None:
                 tn += r.tn
         i += len(results)
 
-    # Skip the first (compile) frame for latency stats.
+    # Skip the first (compile) dispatch for latency stats. With --batch>1
+    # each entry is a dispatch's wall time amortized per frame, so the
+    # latency keys describe throughput, not single-frame tail latency.
     lat = np.asarray(times[1:] or times)
     out = {
         "frames": n_frames,
+        "batch": args.batch,
         "mean_latency_ms": float(lat.mean() * 1e3),
         "p99_latency_ms": float(np.percentile(lat, 99) * 1e3),
         "scans_per_s": float(1.0 / lat.mean()),

@@ -149,15 +149,14 @@ class PatchworkPP:
         :meth:`estimate_ground` for live streams.
 
         Args:
-          clouds: sequence of (N_i, 3|4) float32 scans (RNR gates off for
-            the whole batch if ANY cloud lacks intensity, to keep one
-            compiled program).
+          clouds: sequence of (N_i, 3|4) float32 scans. RNR gates per cloud
+            exactly as :meth:`estimate_ground` does (a 3-column scan turns
+            it off for that frame only); a mixed batch is dispatched as
+            consecutive uniform-width runs, one device call per run.
 
-        Returns: list of :class:`SegmentationResult` (time_taken_s holds the
-        whole batch's wall time on the first entry, 0.0 on the rest).
+        Returns: list of :class:`SegmentationResult` (time_taken_s holds
+        each dispatch's wall time on its run's first entry, 0.0 on the rest).
         """
-        from patchworkpp_tpu.pipeline import make_sequence_fn
-
         clouds = [np.asarray(c, np.float32) for c in clouds]
         if not clouds:
             return []
@@ -168,9 +167,22 @@ class PatchworkPP:
         cap = self._fixed_capacity or _round_capacity(nmax)
         if nmax > cap:
             raise ValueError(f"scan has {nmax} points > fixed capacity {cap}")
-        enable_rnr = self.params.enable_RNR and all(
-            c.shape[1] >= 4 for c in clouds
-        )
+
+        out: list = []
+        run: list = []
+        run_rnr: Optional[bool] = None
+        for c in clouds:
+            rnr = self.params.enable_RNR and c.shape[1] >= 4
+            if run and rnr != run_rnr:
+                out.extend(self._dispatch_sequence(run, run_rnr, cap))
+                run = []
+            run.append(c)
+            run_rnr = rnr
+        out.extend(self._dispatch_sequence(run, run_rnr, cap))
+        return out
+
+    def _dispatch_sequence(self, clouds, enable_rnr: bool, cap: int):
+        from patchworkpp_tpu.pipeline import make_sequence_fn
 
         key = ("seq", enable_rnr, cap, len(clouds))
         fn = self._fns.get(key)

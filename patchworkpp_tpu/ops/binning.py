@@ -151,6 +151,16 @@ def bin_points(
 _HIST_R, _HIST_S = 16, 64  # 14 rings + overflow row, 54 max sectors; padded
 
 
+def supports_factored_counts(geom: CZMGeometry) -> bool:
+    """True when the CZM fits the (ring, sector) histogram grid: total rings
+    + the overflow row strictly below _HIST_R (keeping the (15,63) cell
+    empty) and every zone's sector count strictly below _HIST_S."""
+    p = geom.params
+    total_rings = int(np.sum(np.asarray(p.num_rings_each_zone)))
+    max_sectors = int(np.max(np.asarray(p.num_sectors_each_zone)))
+    return total_rings + 1 <= _HIST_R - 1 and max_sectors <= _HIST_S - 1
+
+
 def factored_patch_counts(bins: PointBins, geom: CZMGeometry) -> jnp.ndarray:
     """Per-patch point counts as a (ring14 x sector) MXU histogram.
 
@@ -169,6 +179,12 @@ def factored_patch_counts(bins: PointBins, geom: CZMGeometry) -> jnp.ndarray:
     """
     from patchworkpp_tpu.ops.onehot import SPAD
 
+    if not supports_factored_counts(geom):
+        raise ValueError(
+            "CZM config exceeds the factored histogram grid "
+            f"(rings+overflow <= {_HIST_R - 1}, sectors <= {_HIST_S - 1}); "
+            "guard call sites with supports_factored_counts()."
+        )
     p = geom.params
     nrings = np.asarray(p.num_rings_each_zone, np.int32)
     nsectors = np.asarray(p.num_sectors_each_zone, np.int32)

@@ -102,10 +102,14 @@ def build_tiled(
     # exactly afterwards (+inf fillers stay above all finite keys).
     # is_stable=False: a stable TPU sort threads an extra iota tiebreaker
     # through the whole sorting network (~25% more traffic, ~110 us/frame).
-    # Instability only permutes rows with identical (patch, z) keys; every
-    # downstream consumer treats a patch as a set (lane sums, LPR take of
-    # equal-z rows), so labels are unchanged — golden parity stays exact
-    # (12/12, TPU-verified).
+    # Instability only permutes rows with identical (patch, z) keys. The LPR
+    # mean and all masks are tie-invariant; the x/y moment sums can see tied
+    # rows in a different f32 accumulation order, which in principle moves a
+    # covariance by an ulp — the same class of tie-order freedom the
+    # reference's own std::sort has. Golden parity stays exact (12/12,
+    # TPU-verified) and the fused==unfused label invariant is enforced by
+    # tests, not by bitwise moment equality (the two paths already reduce in
+    # different orders).
     from patchworkpp_tpu.ops.segments import z_sort_key, z_sort_key_inverse
 
     pid_s, zi_s, x_s, y_s = jax.lax.sort(

@@ -41,7 +41,11 @@ import numpy as np
 
 from patchworkpp_tpu.params import CZMGeometry, Params
 from patchworkpp_tpu.state import AdaptiveState
-from patchworkpp_tpu.ops.binning import bin_points, factored_patch_counts
+from patchworkpp_tpu.ops.binning import (
+    bin_points,
+    factored_patch_counts,
+    supports_factored_counts,
+)
 from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup, patch_reduce
 from patchworkpp_tpu.ops.segments import (
     SortedPoints,
@@ -253,11 +257,18 @@ def make_frame_fn(
         # far slower than the XLA:CPU program.
         import jax as _jax
 
-        on_tpu = _jax.default_backend() not in ("cpu",)
+        # The Pallas grid kernel is Mosaic (TPU)-only: other accelerators
+        # (gpu/rocm) must take the XLA path too, not just cpu.
+        on_tpu = _jax.default_backend() == "tpu"
         sharded = comm is not None and getattr(comm, "is_sharded", False)
         fused = bool(on_tpu and not sharded)
     if fused is True:
         fused = "grid"
+    if fused not in (False, "grid", "onehot"):
+        raise ValueError(
+            f"unknown fused mode {fused!r}: expected False, True/'grid', "
+            "or 'onehot' (the 'scan' variant was removed)"
+        )
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
 
@@ -497,7 +508,13 @@ def make_frame_fn(
 
         with jax.named_scope("stage_sort"):
             tp = build_tiled(
-                xyz_o, pid_o, counts=factored_patch_counts(bins, geom)
+                xyz_o,
+                pid_o,
+                counts=(
+                    factored_patch_counts(bins, geom)
+                    if supports_factored_counts(geom)
+                    else None  # exotic CZM: generic one-hot counts
+                ),
             )
         counts = tp.counts
         processed = (counts >= p.num_min_pts) & (sid < npz)

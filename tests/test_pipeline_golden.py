@@ -142,6 +142,23 @@ def test_model_sequence_api_matches_loop(scans):
     assert m_seq.sensor_height == m_loop.sensor_height
 
 
+def test_model_sequence_api_mixed_intensity(scans):
+    """A batch mixing 4- and 3-column scans must gate RNR per cloud exactly
+    like the per-frame path (dispatched as uniform-width runs)."""
+    m_seq = PatchworkPP(capacity=CAPACITY)
+    m_loop = PatchworkPP(capacity=CAPACITY)
+    clouds = [
+        scans["000000"][::SUB],          # 4-col: RNR on
+        scans["000001"][::SUB, :3],      # 3-col: RNR off for this frame
+        scans["000002"][::SUB],          # 4-col: RNR on again
+    ]
+    results = m_seq.estimate_ground_sequence(clouds)
+    for cloud, rs in zip(clouds, results):
+        rl = m_loop.estimate_ground(cloud)
+        np.testing.assert_array_equal(rs.ground_mask, rl.ground_mask)
+    assert m_seq.sensor_height == m_loop.sensor_height
+
+
 def test_long_horizon_trim_parity(scans):
     """Bounded, non-accumulating drift PAST the FIFO trim of the ring buffers.
 
