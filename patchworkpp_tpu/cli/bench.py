@@ -23,7 +23,9 @@ The adaptive sensor height is fetched before and after the timed loop and
 asserted to move: proof the chain really executed frame by frame.
 """
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -35,6 +37,14 @@ TIMED_EPOCHS = 100  # 600 frames ≈ 0.6 s measured: relay jitter amortized
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="also trace a short window and print the per-stage device-time "
+             "split to stderr (stdout stays one JSON line for the driver)",
+    )
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +77,23 @@ def main() -> None:
     sh_final = float(st.sensor_height)  # single scalar D2H: the sync point
     dt = time.perf_counter() - t0
     assert sh_final != sh_warm, "state did not advance — loop was elided?"
+
+    if args.profile:
+        from patchworkpp_tpu.utils.roofline import (
+            format_report, profile_frames,
+        )
+
+        def run():
+            nonlocal_state = [st]
+            s2, _ = ep(nonlocal_state[0], stack, npts)
+            float(s2.sensor_height)
+
+        stages, ops = profile_frames(run)
+        print(format_report(stages, 6, header="per-stage device time:"),
+              file=sys.stderr)
+        for name, sec, cnt in ops[:10]:
+            print(f"  {1e6 * sec / 6:9.1f} us/frame  {name[:70]}",
+                  file=sys.stderr)
 
     scans_per_s = frames / dt
     print(
