@@ -193,3 +193,33 @@ def test_fused_grid_empty_and_tiny_clouds():
                                       err_msg=f"n={n}")
         assert not mf[n:].any(), f"n={n}: padding rows labeled ground"
         assert int(rf.num_ground) == int(mf.sum())
+
+
+def test_fused_matches_unfused_random_clouds():
+    """Fuzz the fused==unfused label invariant beyond the golden scans:
+    synthetic ground planes + walls + noise, several seeds, state carried."""
+    params = Params()
+    fn_f = jax.jit(make_frame_fn(params, fused=True, interpret=True))
+    fn_u = jax.jit(make_frame_fn(params, fused=False))
+    cap = 8192
+    st_f, st_u = init_state(params), init_state(params)
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(3000, cap - 100))
+        r = rng.uniform(1.0, 90.0, n)  # includes out-of-range > 80 m
+        th = rng.uniform(0, 2 * np.pi, n)
+        pts = np.zeros((cap, 4), np.float32)
+        pts[:n, 0] = r * np.cos(th)
+        pts[:n, 1] = r * np.sin(th)
+        pts[:n, 2] = rng.normal(-1.7, 0.08, n) + 0.015 * r
+        # vertical structures + floating clutter on a random third
+        idx = rng.choice(n, n // 3, replace=False)
+        pts[idx, 2] = rng.uniform(-2.5, 3.0, len(idx))
+        pts[:n, 3] = rng.uniform(0, 1, n)
+        args = (jnp.asarray(pts), jnp.int32(n))
+        st_f, rf = fn_f(st_f, *args)
+        st_u, ru = fn_u(st_u, *args)
+        mism = int(
+            (np.asarray(rf.ground_mask) != np.asarray(ru.ground_mask)).sum()
+        )
+        assert mism == 0, f"seed {seed}: fused vs unfused {mism} mismatches"
