@@ -231,3 +231,26 @@ def test_no_point_sized_gathers_in_frame(fused):
 
     walk(jx.jaxpr)
     assert not offenders, f"P-scale gathers/scatters found: {offenders}"
+
+
+def test_z_sort_key_bijection():
+    """z_sort_key is order-preserving on NaN-free f32 and exactly invertible
+    (incl. +/-0, +/-inf, subnormals, extremes)."""
+    from patchworkpp_tpu.ops.segments import z_sort_key, z_sort_key_inverse
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.standard_normal(4096).astype(np.float32) * 1e3,
+        np.float32([0.0, -0.0, np.inf, -np.inf, 1e-45, -1e-45,
+                    np.finfo(np.float32).max, np.finfo(np.float32).min,
+                    np.finfo(np.float32).tiny, -np.finfo(np.float32).tiny]),
+    ])
+    keys = np.asarray(z_sort_key(jnp.asarray(vals)))
+    back = np.asarray(z_sort_key_inverse(jnp.asarray(keys)))
+    np.testing.assert_array_equal(back.view(np.uint32), vals.view(np.uint32))
+    # Key order must match float order. (-0.0 sorts just below +0.0 in key
+    # space; float equality treats them as the same value, so elementwise
+    # comparison of the two sorted sequences is tie-safe.)
+    sv = np.sort(vals)
+    sk = vals[np.argsort(keys, kind="stable")]
+    assert not (sv != sk).any()
