@@ -14,11 +14,13 @@ XLA collectives over ICI/DCN:
 from patchworkpp_tpu.parallel.sharded import (
     make_batch_frame_fn,
     make_point_sharded_frame_fn,
+    make_point_sharded_sequence_fn,
     batch_init_state,
 )
 
 __all__ = [
     "make_batch_frame_fn",
     "make_point_sharded_frame_fn",
+    "make_point_sharded_sequence_fn",
     "batch_init_state",
 ]

@@ -108,3 +108,45 @@ def build(params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = 
     )
     donate = (0,) if donate_state else ()
     return jax.jit(shard_frame, donate_argnums=donate)
+
+
+def build_sequence(params: Params, mesh: Mesh, axis: str = "point"):
+    """Jitted point-sharded SEQUENCE: lax.scan of the sharded frame step.
+
+    ``fn(state, stack, npts) -> (state, ground_masks)`` with ``stack``
+    (B, P, 4) row-sharded over ``axis`` within each frame, the replicated
+    adaptive state as the scan carry, and (B, P) bool masks out — the
+    multi-chip analog of pipeline.make_sequence_fn (bitwise-equal to calling
+    the point-sharded frame B times in order; one dispatch per chain).
+    """
+    geom = CZMGeometry.create(params)
+    frame = make_frame_fn(params, geom, comm=MeshComm(axis))
+
+    state_spec = jax.tree.map(lambda _: P(), AdaptiveState(*[0] * 7))
+    shard_frame = jax.shard_map(
+        frame,
+        mesh=mesh,
+        in_specs=(state_spec, P(axis), P()),
+        out_specs=(
+            state_spec,
+            FrameResult(
+                ground_mask=P(axis),
+                num_ground=P(),
+                patch_mean=P(),
+                patch_normal=P(),
+                patch_svals=P(),
+                patch_processed=P(),
+            ),
+        ),
+        check_vma=False,
+    )
+
+    def sequence(state, stack, npts):
+        def step(st, xn):
+            x, n = xn
+            st2, res = shard_frame(st, x, n)
+            return st2, res.ground_mask
+
+        return jax.lax.scan(step, state, (stack, npts))
+
+    return jax.jit(sequence)

@@ -104,3 +104,15 @@ def make_point_sharded_frame_fn(
     from patchworkpp_tpu.parallel.point_sharded import build as _build
 
     return _build(params, mesh, axis, donate_state=donate_state)
+
+
+def make_point_sharded_sequence_fn(
+    params: Params, mesh: Mesh, axis: str = "point"
+):
+    """Point-sharded sequential chain: lax.scan of the sharded frame step
+    (the multi-chip analog of pipeline.make_sequence_fn). See
+    :func:`patchworkpp_tpu.parallel.point_sharded.build_sequence`.
+    """
+    from patchworkpp_tpu.parallel.point_sharded import build_sequence
+
+    return build_sequence(params, mesh, axis)

@@ -17,6 +17,7 @@ from patchworkpp_tpu.parallel import (
     batch_init_state,
     make_batch_frame_fn,
     make_point_sharded_frame_fn,
+    make_point_sharded_sequence_fn,
 )
 
 SUB = 16
@@ -116,3 +117,27 @@ def test_frame_data_parallel_local_batch(mesh8, scans, single_results):
         np.testing.assert_array_equal(
             masks[i][: npts[i]], single_results[n], err_msg=f"frame {i}"
         )
+
+
+def test_point_sharded_sequence_matches_frame_loop(mesh8, scans):
+    """The point-sharded scan-dispatched chain (the multi-chip streaming
+    driver) must be bitwise-equal to the per-frame point-sharded loop."""
+    p = Params()
+    names = ["000000", "000001", "000002"]
+    clouds = [scans[n][::SUB] for n in names]
+    stack = np.stack([_pad(c) for c in clouds])
+    npts = np.array([len(c) for c in clouds], np.int32)
+
+    seq = make_point_sharded_sequence_fn(p, mesh8, axis="d")
+    st_seq, masks = seq(init_state(p), jnp.asarray(stack), jnp.asarray(npts))
+
+    frame = make_point_sharded_frame_fn(p, mesh8, axis="d")
+    st = init_state(p)
+    for i, c in enumerate(clouds):
+        st, res = frame(st, jnp.asarray(stack[i]), jnp.int32(npts[i]))
+        np.testing.assert_array_equal(
+            np.asarray(masks[i]), np.asarray(res.ground_mask),
+            err_msg=names[i],
+        )
+    for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
