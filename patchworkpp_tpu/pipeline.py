@@ -216,15 +216,51 @@ def _seed_mask(
     return jnp.where(seed, 1.0, 0.0)
 
 
-def _masked_mean_stdev(vals: jnp.ndarray, mask: jnp.ndarray):
-    """Reference calc_mean_stdev (:557-566): zeros for n <= 1, else sample
-    stdev with n-1 denominator. Works on any masked array."""
+def _masked_mean_stdev_rows(vals: jnp.ndarray, mask: jnp.ndarray):
+    """Row-batched reference calc_mean_stdev (:557-566): reduces the LAST
+    axis; rows with n <= 1 yield zeros, else sample stdev (n-1 denominator).
+
+    One batched reduction set for all rings of interest replaces the
+    per-ring scalar reductions (each dispatched op on TPU costs more than
+    the 4-row arithmetic it performs)."""
     m = mask.astype(jnp.float32)
-    n = jnp.sum(m)
-    mean = jnp.sum(vals * m) / jnp.maximum(n, 1.0)
-    var = jnp.sum(jnp.square(vals - mean) * m) / jnp.maximum(n - 1.0, 1.0)
+    n = jnp.sum(m, axis=-1)
+    mean = jnp.sum(vals * m, axis=-1) / jnp.maximum(n, 1.0)
+    var = jnp.sum(jnp.square(vals - mean[..., None]) * m, axis=-1) / jnp.maximum(
+        n - 1.0, 1.0
+    )
     ok = n > 1
-    return jnp.where(ok, mean, 0.0), jnp.where(ok, jnp.sqrt(var), 0.0), n
+    z = jnp.zeros_like(mean)
+    return jnp.where(ok, mean, z), jnp.where(ok, jnp.sqrt(var), z), n
+
+
+def _compact_rows(vals: jnp.ndarray, acc_mask: jnp.ndarray) -> jnp.ndarray:
+    """Front-compact each row's mask-true entries, preserving order.
+
+    out[r, j] = the j-th mask-true value of row r (zeros beyond) — the
+    batched replacement for the reference's per-ring push_back loop. One
+    fused compare-select-reduce over (R, w, w); no sort, no gather. Exact:
+    every output slot has at most one contributing addend."""
+    m = acc_mask.astype(jnp.float32)
+    pos = jnp.cumsum(m, axis=1) - m  # exclusive rank among mask-true
+    j = jnp.arange(vals.shape[1], dtype=pos.dtype)
+    sel = jnp.where(acc_mask[:, :, None] & (pos[:, :, None] == j), 1.0, 0.0)
+    return jnp.sum(vals[:, :, None] * sel, axis=1)
+
+
+def _write_at(buf: jnp.ndarray, cnt: jnp.ndarray, vals_c: jnp.ndarray) -> jnp.ndarray:
+    """out[r] = buf[r] with vals_c[r] added starting at offset cnt[r].
+
+    Relies on the zeros-beyond-count invariant (buf[r, j] == 0 for
+    j >= cnt[r]), which turns the batched dynamic-offset write into a
+    one-hot select + add over (R, cap, w) — no scatter, no per-ring
+    dynamic_update_slice. Writes running past cap are dropped (unreachable:
+    the trim safety valve keeps cnt <= cap - w)."""
+    cap = buf.shape[1]
+    w = vals_c.shape[1]
+    rel = jnp.arange(cap)[None, :, None] - cnt[:, None, None]  # (R, cap, 1)
+    sel = jnp.where(rel == jnp.arange(w)[None, None, :], 1.0, 0.0)
+    return buf + jnp.sum(vals_c[:, None, :] * sel, axis=2)
 
 
 def make_frame_fn(
@@ -328,24 +364,46 @@ def make_frame_fn(
 
         revert_patch = jnp.zeros(SPAD, bool)
         if p.enable_TGR:
-            flush_from = jnp.int32(0)
-            ring_ids = jnp.arange(n_roi, dtype=jnp.int32)
+            # All rings at once: the only loop-carried value in the
+            # reference's per-ring revert (:291-304) is which rings' accepted
+            # flatness the mu_F window spans, and that is a cumulative max of
+            # "last ring with candidates", not a true dependency.
+            ring_cand = jnp.zeros((n_roi, w), bool)
+            ring_gcnt = jnp.zeros((n_roi, w), jnp.float32)
+            ring_linev = jnp.zeros((n_roi, w), jnp.float32)
             for ci, (a, b) in enumerate(tables.ring_slices):
-                include = (ring_ids >= flush_from) & (ring_ids <= ci)
-                m = ring_acc & include[:, None]
-                mean_f, stdev_f, _ = _masked_mean_stdev(ring_flat, m)
-                mu = mean_f + 1.5 * stdev_f
-                F = flatness[a:b]
-                prob_flat = 1.0 / (1.0 + jnp.exp((F - mu) / (mu / 10.0)))
-                big_flat = (g_count[a:b] > 1500) & (
-                    F < jnp.float32(p.th_dist * p.th_dist)
-                )
-                prob_flat = jnp.where(big_flat, 1.0, prob_flat)
-                prob_line = jnp.where(line_variable[a:b] > 8.0, 0.0, 1.0)
-                revert = candidate[a:b] & (prob_line * prob_flat > 0.5)
-                revert_patch = revert_patch.at[a:b].set(revert)
-                has_cand = jnp.any(candidate[a:b])
-                flush_from = jnp.where(has_cand, jnp.int32(ci + 1), flush_from)
+                s = b - a
+                ring_cand = ring_cand.at[ci, :s].set(candidate[a:b])
+                ring_gcnt = ring_gcnt.at[ci, :s].set(g_count[a:b])
+                ring_linev = ring_linev.at[ci, :s].set(line_variable[a:b])
+
+            # flush_from AT ring ci = 1 + the last ring j < ci that had
+            # candidates (0 if none): an exclusive cumulative max.
+            ring_ids = jnp.arange(n_roi, dtype=jnp.int32)
+            has_cand = jnp.any(ring_cand, axis=1)
+            adv = jnp.where(has_cand, ring_ids + 1, 0)
+            ff = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jax.lax.cummax(adv)[:-1]]
+            )
+            include = (ring_ids[None, :] >= ff[:, None]) & (
+                ring_ids[None, :] <= ring_ids[:, None]
+            )  # (target ring, source ring)
+            m = ring_acc[None, :, :] & include[:, :, None]
+            mean_f, stdev_f, _ = _masked_mean_stdev_rows(
+                jnp.broadcast_to(ring_flat[None], m.shape).reshape(n_roi, -1),
+                m.reshape(n_roi, -1),
+            )
+            mu = (mean_f + 1.5 * stdev_f)[:, None]
+            F = ring_flat
+            prob_flat = 1.0 / (1.0 + jnp.exp((F - mu) / (mu / 10.0)))
+            big_flat = (ring_gcnt > 1500) & (
+                F < jnp.float32(p.th_dist * p.th_dist)
+            )
+            prob_flat = jnp.where(big_flat, 1.0, prob_flat)
+            prob_line = jnp.where(ring_linev > 8.0, 0.0, 1.0)
+            revert_ring = ring_cand & (prob_line * prob_flat > 0.5)
+            for ci, (a, b) in enumerate(tables.ring_slices):
+                revert_patch = revert_patch.at[a:b].set(revert_ring[ci, : b - a])
 
         # ---- adaptive threshold update (C11, reference :338-375) ----
         new_state = _update_state(state, p, ring_acc, ring_elev, ring_flat)
@@ -637,36 +695,40 @@ def make_sequence_fn(
     return sequence
 
 
-def _append_ring(buf, cnt, vals, acc_mask, max_storage, do_trim):
-    """FIFO append + conditional trim for one adaptive ring buffer.
+def _append_rings(buf, cnt, vals_c, k, max_storage, do_trim, w):
+    """Batched FIFO append + conditional trim for (R,) adaptive ring buffers.
 
-    New values are compacted to the front in patch (sector) order — the
-    reference pushes them in its sector loop — then written at offset cnt.
-    Trimming to ``max_storage`` drops the oldest (front), as erase(begin..)
-    does. A safety valve trims even "frozen" rings just below capacity (the
-    reference's unbounded vector can't overflow; our fixed buffer can).
+    ``vals_c`` is (R, w) front-compacted new values (in patch/sector order —
+    the reference pushes them in its sector loop), written at each row's
+    offset ``cnt``. Trimming to ``max_storage`` drops the oldest (front), as
+    erase(begin..) does. A safety valve trims even "frozen" rings just below
+    capacity (the reference's unbounded vector can't overflow; our fixed
+    buffer can).
 
     Returns ``(buf_pre, buf_post, cnt_new, n_total)``: the threshold stats
     must be computed on ``buf_pre`` over ``n_total`` entries — the reference
     trims AFTER computing mean/stdev (patchworkpp.cpp:354-355, :372-373) —
-    while ``buf_post`` is the trimmed carry for the next frame with its tail
-    re-zeroed so the zeros-beyond-count invariant survives the roll.
+    while ``buf_post`` is the trimmed carry for the next frame, re-zeroed
+    past the count. The post-trim front shift runs as a per-ring
+    ``jnp.roll`` (a dynamic-slice pair; its batched one-hot form would risk
+    materializing an (R, cap, cap) select tensor), everything else is one
+    batched op set across rings.
     """
-    w = vals.shape[0]
-    order = jnp.argsort(~acc_mask, stable=True)
-    vals_c = jnp.where(acc_mask[order], vals[order], 0.0)
-    k = jnp.sum(acc_mask).astype(jnp.int32)
-    buf_pre = jax.lax.dynamic_update_slice(buf, vals_c, (cnt,))
+    cap = buf.shape[1]
+    buf_pre = _write_at(buf, cnt, vals_c)
     n_total = cnt + k
-    cap = buf.shape[0]
     excess = jnp.where(
         do_trim,
         jnp.maximum(n_total - max_storage, 0),
         jnp.maximum(n_total - (cap - w), 0),
     )
     cnt_new = n_total - excess
+    iota = jnp.arange(cap)
+    rows = [
+        jnp.roll(buf_pre[i], -excess[i]) for i in range(buf.shape[0])
+    ]
     buf_post = jnp.where(
-        jnp.arange(cap) < cnt_new, jnp.roll(buf_pre, -excess), 0.0
+        iota[None, :] < cnt_new[:, None], jnp.stack(rows), 0.0
     )
     return buf_pre, buf_post, cnt_new, n_total
 
@@ -680,58 +742,62 @@ def _update_state(
 ) -> AdaptiveState:
     """End-of-frame adaptation (reference update_elevation_thr /
     update_flatness_thr :338-375), including the elevation ring-0 sensor
-    height self-calibration and the flatness ``break`` freeze quirk."""
-    n_roi = p.num_rings_of_interest
-    elev_thr = state.elevation_thr
-    flat_thr = state.flatness_thr
-    sh = state.sensor_height
-    elev_buf, elev_cnt = state.elev_buf, state.elev_cnt
-    flat_buf, flat_cnt = state.flat_buf, state.flat_cnt
+    height self-calibration and the flatness ``break`` freeze quirk.
 
-    cap = elev_buf.shape[1]
+    All rings update as ONE batched op set (the freeze cascade is a
+    cumulative count of starved rings, not a loop-carried flag): the
+    reference's two per-ring loops are pure bookkeeping, and dispatching
+    them ring-by-ring cost more device time than the whole update's math.
+    """
+    n_roi = p.num_rings_of_interest
+    cap = state.elev_buf.shape[1]
+    w = ring_elev.shape[1]
     iota = jnp.arange(cap)
 
-    # Elevation: per-ring independent ('continue' on empty).
-    for i in range(n_roi):
-        buf_pre, buf3, cnt_new, n_total = _append_ring(
-            elev_buf[i], elev_cnt[i], ring_elev[i], ring_acc[i],
-            p.max_elevation_storage, do_trim=jnp.bool_(True),
-        )
-        valid = iota < n_total
-        mean, stdev, _ = _masked_mean_stdev(buf_pre, valid)
-        # n_total==1 -> calc_mean_stdev leaves zeros -> thr=0 (and sh=-0).
-        factor = 3.0 if i == 0 else 2.0
-        new_thr = jnp.where(n_total > 0, mean + factor * stdev, elev_thr[i])
-        elev_thr = elev_thr.at[i].set(new_thr)
-        if i == 0:
-            sh = jnp.where(n_total > 0, -mean, sh)
-        elev_buf = elev_buf.at[i].set(buf3)
-        elev_cnt = elev_cnt.at[i].set(cnt_new)
+    k = jnp.sum(ring_acc, axis=1).astype(jnp.int32)  # (R,) new samples
+    elev_c = _compact_rows(ring_elev, ring_acc)
+    flat_c = _compact_rows(ring_flat, ring_acc)
 
-    # Flatness: 'break' on a starved ring freezes all later rings.
-    stopped = jnp.bool_(False)
-    for i in range(n_roi):
-        pre_total = flat_cnt[i] + jnp.sum(ring_acc[i]).astype(jnp.int32)
-        stopped = stopped | (pre_total <= 1)
-        do = ~stopped
-        buf_pre, buf3, cnt_new, n_total = _append_ring(
-            flat_buf[i], flat_cnt[i], ring_flat[i], ring_acc[i],
-            p.max_flatness_storage, do_trim=do,
+    # Elevation: per-ring independent ('continue' on empty).
+    buf_pre_e, buf_post_e, cnt_new_e, n_tot_e = _append_rings(
+        state.elev_buf[:n_roi], state.elev_cnt[:n_roi], elev_c, k,
+        p.max_elevation_storage, do_trim=jnp.full(n_roi, True), w=w,
+    )
+    mean_e, stdev_e, _ = _masked_mean_stdev_rows(
+        buf_pre_e, iota[None, :] < n_tot_e[:, None]
+    )
+    # n_total==1 -> calc_mean_stdev leaves zeros -> thr=0 (and sh=-0).
+    factor = jnp.asarray([3.0] + [2.0] * (n_roi - 1), jnp.float32)
+    elev_thr = state.elevation_thr.at[:n_roi].set(
+        jnp.where(
+            n_tot_e > 0, mean_e + factor * stdev_e, state.elevation_thr[:n_roi]
         )
-        valid = iota < n_total
-        mean, stdev, _ = _masked_mean_stdev(buf_pre, valid)
-        flat_thr = flat_thr.at[i].set(jnp.where(do, mean + stdev, flat_thr[i]))
-        flat_buf = flat_buf.at[i].set(buf3)
-        flat_cnt = flat_cnt.at[i].set(cnt_new)
+    )
+    sh = jnp.where(n_tot_e[0] > 0, -mean_e[0], state.sensor_height)
+
+    # Flatness: 'break' on a starved ring freezes all later rings —
+    # do[i] = no ring j <= i was starved (inclusive cumulative freeze).
+    n_tot_pre = state.flat_cnt[:n_roi] + k
+    do = jnp.cumsum((n_tot_pre <= 1).astype(jnp.int32)) == 0
+    buf_pre_f, buf_post_f, cnt_new_f, n_tot_f = _append_rings(
+        state.flat_buf[:n_roi], state.flat_cnt[:n_roi], flat_c, k,
+        p.max_flatness_storage, do_trim=do, w=w,
+    )
+    mean_f, stdev_f, _ = _masked_mean_stdev_rows(
+        buf_pre_f, iota[None, :] < n_tot_f[:, None]
+    )
+    flat_thr = state.flatness_thr.at[:n_roi].set(
+        jnp.where(do, mean_f + stdev_f, state.flatness_thr[:n_roi])
+    )
 
     return AdaptiveState(
         sensor_height=sh,
         elevation_thr=elev_thr,
         flatness_thr=flat_thr,
-        elev_buf=elev_buf,
-        elev_cnt=elev_cnt,
-        flat_buf=flat_buf,
-        flat_cnt=flat_cnt,
+        elev_buf=state.elev_buf.at[:n_roi].set(buf_post_e),
+        elev_cnt=state.elev_cnt.at[:n_roi].set(cnt_new_e),
+        flat_buf=state.flat_buf.at[:n_roi].set(buf_post_f),
+        flat_cnt=state.flat_cnt.at[:n_roi].set(cnt_new_f),
     )
 
 
