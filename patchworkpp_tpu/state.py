@@ -76,13 +76,23 @@ class AdaptiveState:
 
     @classmethod
     def from_numpy(cls, d: Dict[str, Any]) -> "AdaptiveState":
+        # Re-zero buffer tails past each ring's count: the pipeline's batched
+        # FIFO append (pipeline._write_at) ADDS new samples at the write
+        # offset, relying on the zeros-beyond-count invariant that save()
+        # always provides but a hand-edited checkpoint might not.
+        def _clean(buf, cnt):
+            buf = np.asarray(buf, np.float32).copy()
+            cnt = np.asarray(cnt, np.int32)
+            mask = np.arange(buf.shape[1])[None, :] < cnt[:, None]
+            return np.where(mask, buf, 0.0)
+
         return cls(
             sensor_height=jnp.asarray(d["sensor_height"], jnp.float32),
             elevation_thr=jnp.asarray(d["elevation_thr"], jnp.float32),
             flatness_thr=jnp.asarray(d["flatness_thr"], jnp.float32),
-            elev_buf=jnp.asarray(d["elev_buf"], jnp.float32),
+            elev_buf=jnp.asarray(_clean(d["elev_buf"], d["elev_cnt"])),
             elev_cnt=jnp.asarray(d["elev_cnt"], jnp.int32),
-            flat_buf=jnp.asarray(d["flat_buf"], jnp.float32),
+            flat_buf=jnp.asarray(_clean(d["flat_buf"], d["flat_cnt"])),
             flat_cnt=jnp.asarray(d["flat_cnt"], jnp.int32),
         )
 
