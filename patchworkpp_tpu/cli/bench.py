@@ -43,6 +43,21 @@ def main() -> None:
         help="also trace a short window and print the per-stage device-time "
              "split to stderr (stdout stays one JSON line for the driver)",
     )
+    ap.add_argument(
+        "--densify", type=int, default=1, metavar="K",
+        help="overlay each scan with K-1 slightly shifted copies (128-beam-"
+             "class density scaling; ROOFLINE.md's 262k-point row is K=2). "
+             "Raises the capacity automatically. Default 1: the baseline-"
+             "comparable 6-scan workload.",
+    )
+    ap.add_argument(
+        "--capacity", type=int, default=None,
+        help=f"padded point capacity (default {CAPACITY} * densify)",
+    )
+    ap.add_argument(
+        "--epochs", type=int, default=TIMED_EPOCHS,
+        help="timed 6-frame epochs",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,10 +66,23 @@ def main() -> None:
     from patchworkpp_tpu import Params, init_state
     from patchworkpp_tpu.pipeline import make_sequence_fn
 
-    stack = np.zeros((6, CAPACITY, 4), np.float32)
+    capacity = args.capacity or CAPACITY * args.densify
+    stack = np.zeros((6, capacity, 4), np.float32)
     npts = np.zeros((6,), np.int32)
     for i in range(6):
         pts = np.fromfile(f"{DATA_DIR}/{i:06d}.bin", np.float32).reshape(-1, 4)
+        if args.densify > 1:
+            # Deterministic densification: extra beams a few cm off the
+            # originals (keeps the CZM occupancy profile of a denser sensor).
+            copies = [pts]
+            for k in range(1, args.densify):
+                q = pts.copy()
+                q[:, 2] += 0.03 * k
+                q[:, 0] += 0.02 * k
+                copies.append(q)
+            pts = np.concatenate(copies)
+        if len(pts) > capacity:
+            raise SystemExit(f"capacity {capacity} < {len(pts)} points")
         stack[i, : len(pts)] = pts
         npts[i] = len(pts)
     stack = jnp.asarray(stack)
@@ -68,15 +96,23 @@ def main() -> None:
     for _ in range(2):
         st, _ = ep(st, stack, npts)
     sh_warm = float(st.sensor_height)
+    buf_warm = np.asarray(st.elev_buf[0])  # 4 KB D2H, outside the timed loop
 
     frames = 0
     t0 = time.perf_counter()
-    for _ in range(TIMED_EPOCHS):
+    for _ in range(args.epochs):
         st, _ = ep(st, stack, npts)
         frames += 6
     sh_final = float(st.sensor_height)  # single scalar D2H: the sync point
     dt = time.perf_counter() - t0
-    assert sh_final != sh_warm, "state did not advance — loop was elided?"
+    # Chain proof: every frame appends to (or, at capacity, rotates) the
+    # ring-0 elevation buffer, so its content must differ from the warmup
+    # snapshot if the timed chain really executed. (The adapted
+    # sensor_height alone can converge to a float32 fixed point.)
+    assert not np.array_equal(np.asarray(st.elev_buf[0]), buf_warm), (
+        "state did not advance — loop was elided?"
+    )
+    del sh_warm, sh_final  # the sync fetches above are their only job
 
     if args.profile:
         from patchworkpp_tpu.utils.roofline import (
@@ -96,13 +132,19 @@ def main() -> None:
                   file=sys.stderr)
 
     scans_per_s = frames / dt
+    dense = f"_x{args.densify}" if args.densify > 1 else ""
     print(
         json.dumps(
             {
-                "metric": "kitti6_seq_scans_per_s_per_chip",
+                "metric": f"kitti6{dense}_seq_scans_per_s_per_chip",
                 "value": round(scans_per_s, 2),
                 "unit": "scans/s",
-                "vs_baseline": round(scans_per_s / BASELINE_SCANS_PER_S, 2),
+                # The 29.8 scans/s C++ baseline is the 1x workload; a
+                # densified run is a different workload, so no ratio.
+                "vs_baseline": (
+                    round(scans_per_s / BASELINE_SCANS_PER_S, 2)
+                    if args.densify == 1 else None
+                ),
             }
         )
     )
