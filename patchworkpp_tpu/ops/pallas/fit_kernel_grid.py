@@ -110,7 +110,9 @@ def _pass_config(p: Params):
     )
 
 
-def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
+def make_fit_kernel_grid(
+    params: Params, nt: int, num_zone0_patches: int, prefix_mode: str = "lb"
+):
     p = params
 
     def kernel(
@@ -122,14 +124,13 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
         # output:
         out_ref,
         # scratch:
-        active_ref, plane_ref, alive_ref, snap_ref, mask_ref,
+        active_ref, plane_ref, alive_ref, snap_ref, mask_ref, *extra_scratch,
     ):
         phase = pl.program_id(0)
         kind = kind_ref[phase]
         margin_thr = consts_ref[0, 0]
         th = th_ref[phase]
 
-        lb = lb_ref[:]
         oh = oh_ref[:]
         proc_t = gates_t_ref[:, 0:1]
         sx = gates_t_ref[:, 1:2]
@@ -160,6 +161,15 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
             plane_ref[:] = jnp.zeros((SPAD, 16), jnp.float32)
             alive_ref[:] = proc_p
             snap_ref[:] = jnp.zeros((SPAD, 16), jnp.float32)
+            if prefix_mode == "iota":
+                # Static strict-lower all-tiles triangle, built once in VMEM
+                # from iotas: saves the per-frame HBM write+read of the
+                # data-dependent (NT, NT) same-segment matrix (~9 MB of
+                # traffic). Data-dependence is re-introduced arithmetically
+                # in the SEEDFIT prior below.
+                r = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
+                cc = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
+                extra_scratch[0][:] = (r > cc).astype(jnp.bfloat16)
 
         gate_p = jnp.where(gatea_ref[phase] > 0, alive_ref[:], proc_p)
 
@@ -185,7 +195,18 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
                 (zone0_t > 0.5) & (zs_ref[:] < margin_thr), 0.0, 1.0
             )
             m_t = jnp.sum(elig, axis=1, keepdims=True)
-            prior = _prior_exclusive(lb, m_t)
+            if prefix_mode == "lb":
+                prior = _prior_exclusive(lb_ref[:], m_t)
+            else:
+                # Segmented exclusive prefix from the static triangle:
+                #   A[t]  = #eligible in ALL tiles before t   (L_all @ m)
+                #   B[p]  = A at patch p's FIRST tile          (oh^T pick)
+                #   prior = A - bcast(B)
+                # All quantities are integer counts < 2^24: exact in f32,
+                # and the picks/broadcasts have a single addend each.
+                a_t = _seg_dots(extra_scratch[0][:], m_t, transpose=False)
+                b_p = reduce_p(a_t * lb_ref[:])  # lb_ref = first-tile flags
+                prior = a_t - bcast(b_p)
             quota = jnp.clip(jnp.float32(p.num_lpr) - prior, 0.0, None)
             rank = _lane_prefix_exclusive(elig)
             take = elig * (rank < quota).astype(jnp.float32)
@@ -301,13 +322,15 @@ def make_fit_kernel_grid(params: Params, nt: int, num_zone0_patches: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "num_zone0_patches", "interpret")
+    jax.jit,
+    static_argnames=("params", "num_zone0_patches", "interpret", "prefix_mode"),
 )
 def fused_fit_grid(
     xs, ys, zs, valid_f, tile_patch, gates_t, gates_p, consts,
     params: Params,
     num_zone0_patches: int,
     interpret: bool = False,
+    prefix_mode: str = "lb",
 ):
     """Grid-ified fused fit loop.
 
@@ -317,6 +340,13 @@ def fused_fit_grid(
       gates_t: (NT, 8) f32 per-tile [processed, shift_x/y/z, zone0, 0..].
       gates_p: (SPAD, 8) f32 per-patch [processed, shift_x/y/z, 0..].
       consts: (1, 8) f32: [margin_thr, ...].
+      prefix_mode: how the LPR quota's exclusive tile prefix is computed.
+        "lb": dot against a data-dependent (NT, NT) strict-lower same-segment
+        bf16 input (4.7 MB written+read through HBM every frame). "iota":
+        build the STATIC all-tiles triangle once in VMEM scratch and
+        re-segment arithmetically (prior = A - bcast(A at each patch's first
+        tile)) — two extra (NT, SPAD) dots per seed pass, no big HBM input.
+        Bit-identical outputs (integer counts, exact in f32 either way).
 
     Returns:
       (SPAD, 48) f32 per-patch result table (see fit_kernel OUT_* layout).
@@ -325,17 +355,36 @@ def fused_fit_grid(
     npasses, kind, peel, snap, gate_alive, final, th_arr = _pass_config(params)
 
     tpc = tile_patch[:, 0]
-    same = tpc[:, None] == tpc[None, :]
-    lower = (
-        jnp.arange(nt, dtype=jnp.int32)[:, None]
-        > jnp.arange(nt, dtype=jnp.int32)[None, :]
-    )
-    lb = (same & lower).astype(jnp.bfloat16)  # strict-lower: exclusive prefix
+    if prefix_mode == "lb":
+        same = tpc[:, None] == tpc[None, :]
+        lower = (
+            jnp.arange(nt, dtype=jnp.int32)[:, None]
+            > jnp.arange(nt, dtype=jnp.int32)[None, :]
+        )
+        # strict-lower same-segment: exclusive prefix
+        prior_arg = (same & lower).astype(jnp.bfloat16)
+        prior_spec = pl.BlockSpec(
+            (nt, nt), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        )
+        extra_scratch = []
+    elif prefix_mode == "iota":
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), tpc[1:] != tpc[:-1]]
+        )  # first tile of each patch run
+        prior_arg = first.astype(jnp.float32)[:, None]  # (NT, 1)
+        prior_spec = pl.BlockSpec(
+            (nt, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        )
+        extra_scratch = [pltpu.VMEM((nt, nt), jnp.bfloat16)]  # static triangle
+    else:
+        raise ValueError(f"unknown prefix_mode {prefix_mode!r}")
     oh = (
         tpc[:, None] == jnp.arange(SPAD, dtype=jnp.int32)[None, :]
     ).astype(jnp.bfloat16)                    # tile -> patch one-hot
 
-    kernel = make_fit_kernel_grid(params, nt, num_zone0_patches)
+    kernel = make_fit_kernel_grid(
+        params, nt, num_zone0_patches, prefix_mode=prefix_mode
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(npasses,),
@@ -344,7 +393,7 @@ def fused_fit_grid(
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, nt), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            prior_spec,
             pl.BlockSpec((nt, SPAD), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SPAD, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -359,18 +408,18 @@ def fused_fit_grid(
             pltpu.VMEM((SPAD, 1), jnp.float32),    # alive
             pltpu.VMEM((SPAD, 16), jnp.float32),   # snapshots
             pltpu.VMEM((nt, LANE), jnp.float32),   # fit mask
-        ],
+        ] + extra_scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((SPAD, OUT_COLS), jnp.float32),
         # All blocks are whole-array with constant index maps; the kernel's
-        # working set (~30 MB at NT=1532: the (NT,NT) strict-lower prefix
-        # matrix + the (NT,SPAD) one-hot + the tiled point planes + scratch)
-        # exceeds the default 16 MB *scoped* vmem budget but fits comfortably
-        # in the 128 MB physical VMEM of a v5e core, so raise the scoped
-        # limit explicitly.
+        # working set (~30 MB at NT=1532: the (NT,NT) prefix triangle + the
+        # (NT,SPAD) one-hot + the tiled point planes + scratch) exceeds the
+        # default 16 MB *scoped* vmem budget but fits comfortably in the
+        # 128 MB physical VMEM of a v5e core, so raise the scoped limit
+        # explicitly.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -378,5 +427,5 @@ def fused_fit_grid(
     )(
         jnp.asarray(kind), jnp.asarray(peel), jnp.asarray(snap),
         jnp.asarray(gate_alive), jnp.asarray(final), jnp.asarray(th_arr),
-        xs, ys, zs, valid_f, lb, oh, gates_t, gates_p, consts,
+        xs, ys, zs, valid_f, prior_arg, oh, gates_t, gates_p, consts,
     )

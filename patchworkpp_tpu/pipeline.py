@@ -300,10 +300,11 @@ def make_frame_fn(
         fused = bool(on_tpu and not sharded)
     if fused is True:
         fused = "grid"
-    if fused not in (False, "grid", "onehot"):
+    if fused not in (False, "grid", "grid_iota", "onehot"):
         raise ValueError(
             f"unknown fused mode {fused!r}: expected False, True/'grid', "
-            "or 'onehot' (the 'scan' variant was removed)"
+            "'grid_iota' (in-kernel static prefix triangle), or 'onehot' "
+            "(the 'scan' variant was removed)"
         )
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
@@ -609,7 +610,7 @@ def make_frame_fn(
                     params=p, num_zone0_patches=tables.num_zone0,
                     interpret=interpret,
                 )
-        else:  # "grid" (default fused mode): patch-level output table
+        else:  # "grid" / "grid_iota" (default fused): patch-level output table
             from patchworkpp_tpu.ops.pallas import fit_kernel_grid as fkg
 
             with jax.named_scope("stage_fused_fit"):
@@ -619,6 +620,7 @@ def make_frame_fn(
                     consts, params=p,
                     num_zone0_patches=tables.num_zone0,
                     interpret=interpret,
+                    prefix_mode="iota" if fused == "grid_iota" else "lb",
                 )
                 out = jnp.where(counts[:, None] > 0, out, 0.0)
 

@@ -95,6 +95,24 @@ def test_fused_matches_unfused_exactly(scans):
         assert mism == 0, f"{name}: fused vs unfused {mism} mismatches"
 
 
+def test_fused_grid_iota_prefix_bitwise(scans):
+    """prefix_mode='iota' (in-kernel static triangle, re-segmented
+    arithmetically) must equal the 'lb' input-matrix mode BITWISE — the
+    prior is integer counts, exact in f32 through either dot shape."""
+    params = Params()
+    fn_lb = jax.jit(make_frame_fn(params, fused="grid", interpret=True))
+    fn_io = jax.jit(make_frame_fn(params, fused="grid_iota", interpret=True))
+    for name in ("000000", "000004"):
+        cloud = scans[name][::SUB]
+        padded = np.zeros((CAP, 4), np.float32)
+        padded[: len(cloud)] = cloud
+        args = (jnp.asarray(padded), jnp.int32(len(cloud)))
+        s1, r1 = fn_lb(init_state(params), *args)
+        s2, r2 = fn_io(init_state(params), *args)
+        for a, b in zip(jax.tree.leaves((s1, r1)), jax.tree.leaves((s2, r2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_interpret_sequential_state(scans):
     """Two frames with state carry through the fused path.
 
