@@ -58,6 +58,13 @@ def main() -> None:
         "--epochs", type=int, default=TIMED_EPOCHS,
         help="timed 6-frame epochs",
     )
+    ap.add_argument(
+        "--fused", default="auto",
+        choices=["auto", "grid", "grid_iota", "unfused"],
+        help="engine path: auto (default; the grid kernel on TPU), an "
+             "explicit kernel prefix mode, or the unfused XLA path (what "
+             "the point-sharded multi-chip program runs per shard)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -89,7 +96,8 @@ def main() -> None:
     npts = jnp.asarray(npts)
 
     params = Params()
-    ep = jax.jit(make_sequence_fn(params))  # fused auto: grid kernel on TPU
+    fused = {"auto": None, "unfused": False}.get(args.fused, args.fused)
+    ep = jax.jit(make_sequence_fn(params, fused=fused))
 
     # Warmup: compile + two full epochs; scalar fetch forces completion.
     st = init_state(params)
@@ -133,10 +141,11 @@ def main() -> None:
 
     scans_per_s = frames / dt
     dense = f"_x{args.densify}" if args.densify > 1 else ""
+    path = f"_{args.fused}" if args.fused != "auto" else ""
     print(
         json.dumps(
             {
-                "metric": f"kitti6{dense}_seq_scans_per_s_per_chip",
+                "metric": f"kitti6{dense}{path}_seq_scans_per_s_per_chip",
                 "value": round(scans_per_s, 2),
                 "unit": "scans/s",
                 # The 29.8 scans/s C++ baseline is the 1x workload; a
