@@ -216,6 +216,24 @@ def _seed_mask(
     return jnp.where(seed, 1.0, 0.0)
 
 
+def _sanitize_nonfinite(points: jnp.ndarray) -> jnp.ndarray:
+    """Zero rows with a non-finite coordinate: they become out-of-range
+    (r = 0 < min_range) and go straight to nonground, excluded from every
+    statistic.
+
+    DELIBERATE deviation from the reference: all patch<->point movement here
+    is one-hot MXU contractions, where a single NaN/Inf row poisons EVERY
+    patch's moments (0 * NaN = NaN along the contraction axis) — one bad
+    point would corrupt the whole frame AND the adaptive state. The
+    reference instead lets a non-finite z poison just its own patch's plane
+    fit and then pushes NaN into the threshold buffers
+    (update_elevation_thr, patchworkpp.cpp:338-361), silently breaking all
+    future adaptation — upstream fragility, not behavior worth replicating.
+    Finite inputs (all KITTI golden scans) are byte-identical either way."""
+    ok = jnp.isfinite(points[:, :3]).all(axis=1)
+    return jnp.where(ok[:, None], points, 0.0)
+
+
 def _masked_mean_stdev_rows(vals: jnp.ndarray, mask: jnp.ndarray):
     """Row-batched reference calc_mean_stdev (:557-566): reduces the LAST
     axis; rows with n <= 1 yield zeros, else sample stdev (n-1 denominator).
@@ -453,7 +471,7 @@ def make_frame_fn(
         return new_state, result
 
     def frame(state: AdaptiveState, points: jnp.ndarray, npts: jnp.ndarray):
-        points = points.astype(jnp.float32)
+        points = _sanitize_nonfinite(points.astype(jnp.float32))
         npts = jnp.asarray(npts, jnp.int32) - comm.row_offset(points.shape[0])
 
         # ---- per-point: RNR + CZM (C3, C4) ----
@@ -557,7 +575,7 @@ def make_frame_fn(
         from patchworkpp_tpu.ops.tiled import build_tiled
         from patchworkpp_tpu.ops.pallas import fit_kernel as fk
 
-        points = points.astype(jnp.float32)
+        points = _sanitize_nonfinite(points.astype(jnp.float32))
         npts = jnp.asarray(npts, jnp.int32)
 
         with jax.named_scope("stage_rnr_czm"):

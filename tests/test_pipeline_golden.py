@@ -88,6 +88,38 @@ def test_point_conservation(model, scans):
     assert res.ground_indices.size + res.nonground_indices.size == n
 
 
+def test_nonfinite_points_are_contained():
+    """A NaN/Inf coordinate must label its own row nonground and leave every
+    other label AND the adaptive state untouched. (Deliberate deviation from
+    the reference, which lets one NaN poison its patch and then its
+    threshold buffers; here an unsanitized NaN row would poison ALL patches
+    through the one-hot MXU contractions — pipeline._sanitize_nonfinite.)"""
+    rng = np.random.default_rng(0)
+    cloud = rng.normal(0, 20, (4096, 4)).astype(np.float32)
+    cloud[:, 2] = rng.normal(-1.7, 0.3, 4096).astype(np.float32)
+    cloud[:, 3] = rng.random(4096).astype(np.float32)
+    bad = np.array(
+        [
+            [np.nan, 3.0, -1.7, 0.5],
+            [np.inf, 1.0, -1.7, 0.5],
+            [2.0, -np.inf, -1.7, 0.5],
+            [5.0, 5.0, np.nan, 0.5],
+            [5.0, 5.0, np.inf, 0.5],
+        ],
+        np.float32,
+    )
+    m_clean = PatchworkPP(capacity=8192)
+    r_clean = m_clean.estimate_ground(cloud)
+    m_bad = PatchworkPP(capacity=8192)
+    r_bad = m_bad.estimate_ground(np.concatenate([cloud, bad]))
+    assert not r_bad.ground_mask[4096:].any()
+    np.testing.assert_array_equal(r_bad.ground_mask[:4096], r_clean.ground_mask)
+    np.testing.assert_array_equal(
+        np.asarray(m_bad.state.elevation_thr), np.asarray(m_clean.state.elevation_thr)
+    )
+    assert m_bad.sensor_height == m_clean.sensor_height
+
+
 @pytest.mark.slow
 def test_full_resolution_golden(scans, golden):
     """Full 124k-point exact parity vs the compiled C++ reference (slow)."""
