@@ -216,21 +216,28 @@ def _seed_mask(
     return jnp.where(seed, 1.0, 0.0)
 
 
+_COORD_SANE = np.float32(1e9)  # meters; LiDAR returns are < a few hundred
+
+
 def _sanitize_nonfinite(points: jnp.ndarray) -> jnp.ndarray:
-    """Zero rows with a non-finite coordinate: they become out-of-range
-    (r = 0 < min_range) and go straight to nonground, excluded from every
-    statistic.
+    """Zero rows whose coordinates are non-finite or absurdly large: they
+    become out-of-range (r = 0 < min_range) and go straight to nonground,
+    excluded from every statistic.
 
     DELIBERATE deviation from the reference: all patch<->point movement here
     is one-hot MXU contractions, where a single NaN/Inf row poisons EVERY
     patch's moments (0 * NaN = NaN along the contraction axis) — one bad
-    point would corrupt the whole frame AND the adaptive state. The
-    reference instead lets a non-finite z poison just its own patch's plane
-    fit and then pushes NaN into the threshold buffers
+    point would corrupt the whole frame AND the adaptive state. Coordinates
+    past ~2e19 produce the same Inf through their f32 squares in
+    moment_features, so the gate is |coord| < 1e9 (NaN/Inf fail it too);
+    any surviving value keeps all downstream f32 sums finite
+    (1e18 * 131072 << f32 max), and finite garbage stays contained to its
+    own patch. The reference instead lets a non-finite z poison its own
+    patch's plane fit and then pushes NaN into the threshold buffers
     (update_elevation_thr, patchworkpp.cpp:338-361), silently breaking all
     future adaptation — upstream fragility, not behavior worth replicating.
-    Finite inputs (all KITTI golden scans) are byte-identical either way."""
-    ok = jnp.isfinite(points[:, :3]).all(axis=1)
+    Sane inputs (all KITTI golden scans) are byte-identical either way."""
+    ok = (jnp.abs(points[:, :3]) < _COORD_SANE).all(axis=1)
     return jnp.where(ok[:, None], points, 0.0)
 
 

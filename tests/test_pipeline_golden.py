@@ -105,6 +105,8 @@ def test_nonfinite_points_are_contained():
             [2.0, -np.inf, -1.7, 0.5],
             [5.0, 5.0, np.nan, 0.5],
             [5.0, 5.0, np.inf, 0.5],
+            [1e30, 5.0, -1.7, 0.5],   # finite, but its f32 square is Inf
+            [5.0, 5.0, -1e25, 0.5],
         ],
         np.float32,
     )
