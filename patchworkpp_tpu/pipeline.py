@@ -85,6 +85,13 @@ class StaticTables(NamedTuple):
 def build_static_tables(params: Params, geom: CZMGeometry) -> StaticTables:
     p = params
     npz = geom.num_patches
+    if npz > SPAD - 1:
+        raise ValueError(
+            f"CZM has {npz} patches; this build supports at most {SPAD - 1} "
+            f"(the SPAD={SPAD} patch space reserves one overflow bucket; the "
+            "reference geometry uses 504). Reduce num_rings_each_zone / "
+            "num_sectors_each_zone."
+        )
     zone = np.full(SPAD, p.num_zones - 1, np.int32)
     zone[:npz] = geom.patch_zone()
     cring = np.full(SPAD, geom.num_concentric_rings, np.int32)

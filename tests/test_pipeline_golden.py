@@ -88,6 +88,51 @@ def test_point_conservation(model, scans):
     assert res.ground_indices.size + res.nonground_indices.size == n
 
 
+def test_custom_czm_geometries(scans):
+    """Non-default CZM configs (the reference hardcodes its 4-zone layout;
+    ours is generic): exact oracle parity AND fused == unfused, including a
+    zone whose sector count overflows the factored (ring, sector) histogram
+    grid (falls back to the generic one-hot counts path in build_tiled).
+    Also: >511 patches must fail loudly (the SPAD patch space is static)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu.ops.binning import supports_factored_counts
+    from patchworkpp_tpu.params import CZMGeometry
+    from patchworkpp_tpu.pipeline import make_frame_fn
+
+    scan = scans["000002"][::8]
+    configs = [
+        dict(num_rings_each_zone=(2, 2, 2, 2),
+             num_sectors_each_zone=(16, 32, 70, 32)),   # factored overflow
+        dict(num_rings_each_zone=(2, 3, 5, 4),
+             num_sectors_each_zone=(8, 16, 32, 16)),
+    ]
+    expected_factored = [False, True]
+    for kwargs, exp in zip(configs, expected_factored):
+        p = Params(**kwargs)
+        assert supports_factored_counts(CZMGeometry.create(p)) is exp
+        pts = np.zeros((16384, 4), np.float32)
+        pts[: len(scan)] = scan
+        args = (jnp.asarray(pts), jnp.int32(len(scan)))
+        _, ru = jax.jit(make_frame_fn(p, fused=False))(init_state(p), *args)
+        _, rf = jax.jit(make_frame_fn(p, fused="grid", interpret=True))(
+            init_state(p), *args
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rf.ground_mask), np.asarray(ru.ground_mask)
+        )
+        ref = NumpyPatchworkpp(p).estimate_ground(scan)
+        np.testing.assert_array_equal(
+            np.asarray(ru.ground_mask)[: len(scan)], ref
+        )
+
+    with pytest.raises(ValueError, match="patches"):
+        make_frame_fn(
+            Params(num_sectors_each_zone=(16, 32, 70, 32))  # 568 > 511
+        )
+
+
 def test_nonfinite_points_are_contained():
     """A NaN/Inf coordinate must label its own row nonground and leave every
     other label AND the adaptive state untouched. (Deliberate deviation from
