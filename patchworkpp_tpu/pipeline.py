@@ -318,11 +318,12 @@ def make_frame_fn(
     geom = geom or CZMGeometry.create(p)
     comm = comm or FrameComm()
     if fused is None:
-        # Auto: the grid fused kernel is the product path on TPU (compiles in
-        # ~70 s, ~2.2 ms/frame device time); point-sharded runs use the
-        # unfused path (the kernel is single-chip, whole-frame). CPU runs use
-        # the unfused path — Pallas-on-CPU requires interpret mode, which is
-        # far slower than the XLA:CPU program.
+        # Auto: the grid fused kernel is the product path on TPU (Mosaic
+        # compile ~110 s, ~0.9 ms/frame device time; see ROOFLINE.md);
+        # point-sharded runs use the unfused path (the kernel is
+        # single-chip, whole-frame). CPU runs use the unfused path —
+        # Pallas-on-CPU requires interpret mode, which is far slower than
+        # the XLA:CPU program.
         import jax as _jax
 
         # The Pallas grid kernel is Mosaic (TPU)-only: other accelerators
