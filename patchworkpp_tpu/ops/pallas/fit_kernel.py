@@ -298,6 +298,16 @@ def make_fit_kernel(params: Params, nt: int, num_zone0_patches: int):
             my = mqy + gates_ref[:, 2:3]
             mz = mqz + gates_ref[:, 3:4]
             d = -(nx * mx + ny * my + nz * mz)
+            # Non-finite plane (1-point fit) -> [0,0,0,1e30] sentinel, same
+            # as pipeline._fit_planes / fit_kernel_grid (see there).
+            fin = (
+                jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
+                & jnp.isfinite(d)
+            )
+            nx = jnp.where(fin, nx, 0.0)
+            ny = jnp.where(fin, ny, 0.0)
+            nz = jnp.where(fin, nz, 0.0)
+            d = jnp.where(fin, d, jnp.float32(1e30))
             upd = (gate > 0.5) & (n > 0)
             old = plane_ref[:]
             new = jnp.concatenate(

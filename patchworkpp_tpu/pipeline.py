@@ -184,6 +184,19 @@ def _fit_planes(
     n, mean, cov = moments_to_mean_cov(mom, shift)
     svals, normal = eigh3x3_descending(cov)
     d = -jnp.sum(normal * mean, axis=-1)
+    # A 1-point fit divides by n-1 == 0: NaN cov -> NaN plane (the reference
+    # hits the same 0/0, patchworkpp.cpp:47-75, and its NaN plane simply
+    # fails every comparison FOR THAT PATCH). Here the plane is broadcast
+    # through one-hot dots where a single NaN row poisons EVERY point's
+    # lookup (0 * NaN = NaN in the contraction), so replace a non-finite
+    # plane with the sentinel [0,0,0,1e30]: per consumer it reproduces the
+    # reference's NaN decisions exactly — dist 1e30 fails `< th` and
+    # `|.| < th_dist_v`, uprightness 0 fails `> 0.707`, heading 0 fails
+    # `< 0` — while staying finite through the movement. (svals keep their
+    # NaN: they ride per-patch scalars, never lookups.)
+    fin = jnp.isfinite(normal).all(axis=-1) & jnp.isfinite(d)
+    normal = jnp.where(fin[:, None], normal, 0.0)
+    d = jnp.where(fin, d, jnp.float32(1e30))
     upd = patch_gate & (n > 0)
     u3 = upd[:, None]
     new_carry = _PlaneCarry(
@@ -257,7 +270,9 @@ def _masked_mean_stdev_rows(vals: jnp.ndarray, mask: jnp.ndarray):
     the 4-row arithmetic it performs)."""
     m = mask.astype(jnp.float32)
     n = jnp.sum(m, axis=-1)
-    mean = jnp.sum(vals * m, axis=-1) / jnp.maximum(n, 1.0)
+    # Select-before-multiply: masked-out slots may hold NaN (0 * NaN = NaN).
+    vals = jnp.where(mask, vals, 0.0)
+    mean = jnp.sum(vals, axis=-1) / jnp.maximum(n, 1.0)
     var = jnp.sum(jnp.square(vals - mean[..., None]) * m, axis=-1) / jnp.maximum(
         n - 1.0, 1.0
     )
@@ -277,6 +292,9 @@ def _compact_rows(vals: jnp.ndarray, acc_mask: jnp.ndarray) -> jnp.ndarray:
     pos = jnp.cumsum(m, axis=1) - m  # exclusive rank among mask-true
     j = jnp.arange(vals.shape[1], dtype=pos.dtype)
     sel = jnp.where(acc_mask[:, :, None] & (pos[:, :, None] == j), 1.0, 0.0)
+    # Select-before-multiply: a non-finite value at a mask-FALSE slot (e.g.
+    # a rejected patch's NaN flatness) must not ride 0 * NaN into the sum.
+    vals = jnp.where(acc_mask, vals, 0.0)
     return jnp.sum(vals[:, :, None] * sel, axis=1)
 
 

@@ -133,6 +133,53 @@ def test_custom_czm_geometries(scans):
         )
 
 
+def test_degenerate_single_seed_fit_is_contained():
+    """A patch whose seed set is ONE point divides by n-1 == 0: NaN cov, NaN
+    plane. The reference hits the same 0/0 and its NaN merely fails that
+    patch's comparisons; here a NaN plane row would poison EVERY point's
+    label through the one-hot lookup (0 * NaN = NaN), so the carry stores
+    the [0,0,0,1e30] sentinel instead — decision-identical per consumer
+    (pipeline._fit_planes). The degenerate patch must go nonground, the
+    clean patch must stay exactly oracle-ground, in both engine paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu.pipeline import make_frame_fn
+
+    rng = np.random.default_rng(9)
+    # Patch A (degenerate): 10 points at r~10, one low outlier -> 1 seed.
+    n_a = 10
+    th_a = 0.3 + np.arange(n_a) * 1e-3
+    pa = np.stack(
+        [10.0 * np.cos(th_a), 10.0 * np.sin(th_a),
+         np.r_[-1.6, np.full(n_a - 1, 3.0)], np.full(n_a, 0.5)], axis=1
+    ).astype(np.float32)
+    # Patch B (clean ground plane): 60 points at r~15.
+    n_b = 60
+    th_b = 1.2 + rng.uniform(0, 0.05, n_b)
+    rr = 15.0 + rng.uniform(0, 0.5, n_b)
+    pb = np.stack(
+        [rr * np.cos(th_b), rr * np.sin(th_b),
+         rng.normal(-1.73, 0.01, n_b), np.full(n_b, 0.5)], axis=1
+    ).astype(np.float32)
+    cloud = np.concatenate([pa, pb]).astype(np.float32)
+
+    ref = NumpyPatchworkpp().estimate_ground(cloud)
+    assert ref[n_a:].sum() > n_b // 2  # the clean patch IS mostly ground
+
+    pts = np.zeros((8192, 4), np.float32)
+    pts[: len(cloud)] = cloud
+    args = (jnp.asarray(pts), jnp.int32(len(cloud)))
+    for fused in (False, "grid"):
+        fn = jax.jit(make_frame_fn(Params(), fused=fused, interpret=bool(fused)))
+        st, res = fn(init_state(Params()), *args)
+        got = np.asarray(res.ground_mask)[: len(cloud)]
+        np.testing.assert_array_equal(got, ref, err_msg=f"fused={fused}")
+        assert not got[:n_a].any()
+        for leaf in jax.tree.leaves(st):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_nonfinite_points_are_contained():
     """A NaN/Inf coordinate must label its own row nonground and leave every
     other label AND the adaptive state untouched. (Deliberate deviation from
