@@ -31,6 +31,7 @@ import numpy as np
 
 from patchworkpp_tpu.params import Params
 from patchworkpp_tpu.models import PatchworkPP, SegmentationResult
+from patchworkpp_tpu.utils.profiling import FrameTimer
 
 
 class CloudMsg(NamedTuple):
@@ -82,6 +83,10 @@ class GroundSegmentationServer:
         self._running = False
         self.frames_processed = 0
         self.frames_dropped = 0
+        # Cumulative host-side timing (the reference's time_taken_ /
+        # verbose-split analog for the serving loop): wait = queue idle,
+        # infer = engine time. timing_report() renders per-frame numbers.
+        self.timer = FrameTimer()
 
     # ------------------------------------------------------------------ pub/sub
 
@@ -136,7 +141,8 @@ class GroundSegmentationServer:
     def _run(self) -> None:
         stopped = False
         while not stopped:
-            msg = self._queue.get()
+            with self.timer.segment("wait"):
+                msg = self._queue.get()
             if msg is None or not self._running:
                 break
             batch = [msg]
@@ -153,14 +159,19 @@ class GroundSegmentationServer:
                     break
                 batch.append(nxt)
             t0 = time.perf_counter()
-            if len(batch) == self.config.batch_max and len(batch) > 1:
-                results = self._model.estimate_ground_sequence(
-                    [m.points for m in batch]
-                )
-            else:
-                results = [self._model.estimate_ground(m.points) for m in batch]
+            with self.timer.segment("infer"):
+                if len(batch) == self.config.batch_max and len(batch) > 1:
+                    results = self._model.estimate_ground_sequence(
+                        [m.points for m in batch]
+                    )
+                else:
+                    results = [
+                        self._model.estimate_ground(m.points) for m in batch
+                    ]
             latency = time.perf_counter() - t0
             self.frames_processed += len(batch)
+            for _ in batch:
+                self.timer.tick_frame()
             for m, r in zip(batch, results):
                 out = ResultMsg(msg=m, result=r, latency_s=latency)
                 for cb in self._subs:
@@ -175,6 +186,11 @@ class GroundSegmentationServer:
         t0 = time.perf_counter()
         result = self._model.estimate_ground(msg.points)
         return ResultMsg(msg=msg, result=result, latency_s=time.perf_counter() - t0)
+
+    def timing_report(self) -> str:
+        """Per-frame wait/infer split of the serving loop (the reference's
+        verbose getTimeTaken analog; utils.profiling.FrameTimer)."""
+        return self.timer.report()
 
     @property
     def sensor_height(self) -> float:

@@ -104,16 +104,12 @@ def profile_frames(
 ) -> Tuple[Dict[str, float], List[Tuple[str, float, int]]]:
     """Trace ``run_frames()`` (which must BLOCK on its own results) and return
     (stage -> seconds, top-op table) aggregated over the traced region."""
-    import jax
+    from patchworkpp_tpu.utils.profiling import profile_trace
 
-    own = logdir is None
-    if own:
+    if logdir is None:
         logdir = tempfile.mkdtemp(prefix="ppk_trace_")
-    jax.profiler.start_trace(logdir)
-    try:
+    with profile_trace(logdir):
         run_frames()
-    finally:
-        jax.profiler.stop_trace()
     events = _load_trace_events(logdir)
     return stage_breakdown(events), op_table(events)
 

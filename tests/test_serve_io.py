@@ -65,6 +65,9 @@ def test_server_stream(scans):
         assert r.ground_indices.size > 0
     # adaptive state advanced across streamed frames
     assert srv.sensor_height != 1.723
+    # serving-loop timing accumulated (the getTimeTaken/verbose analog)
+    assert srv.timer.frames == 3 and srv.timer.totals["infer"] > 0
+    assert "infer" in srv.timing_report()
 
 
 def test_server_sync_process(scans):
