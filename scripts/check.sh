@@ -16,4 +16,6 @@ done
 echo "console scripts ok"
 
 python -m pytest tests/ -x -q
+# Full-resolution golden parity (the exactness bar) is part of the gate.
+python -m pytest tests/ -x -q -m slow
 echo "check: all green"
