@@ -141,8 +141,8 @@ def main() -> None:
         )
 
         def run():
-            nonlocal_state = [st]
-            s2, _ = ep(nonlocal_state[0], stack, npts)
+            # One epoch from the final timed state; the scalar fetch blocks.
+            s2, _ = ep(st, stack, npts)
             float(s2.sensor_height)
 
         stages, ops = profile_frames(run)
@@ -173,6 +173,11 @@ def main() -> None:
                     round(scans_per_s / BASELINE_SCANS_PER_S, 2)
                     if args.densify == 1 else None
                 ),
+                # Measurement protocol: frames chained per device dispatch
+                # (round-1 captures used 6; runs are comparable only at the
+                # same value — the delta is tunnel-relay amortization, not
+                # engine speed).
+                "frames_per_dispatch": frames_per_epoch,
             }
         )
     )

@@ -225,6 +225,27 @@ def _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz):
     )
 
 
+def apply_plane_sentinel(nx, ny, nz, d):
+    """Non-finite plane (1-point fit: cov is 0/0) -> the [0,0,0,1e30]
+    sentinel. One source of truth for both kernels; pipeline._fit_planes
+    mirrors it on (S,3)/(S,)-shaped arrays and MUST stay decision-identical
+    (the fused == unfused label invariant depends on it). A NaN row would
+    poison every tile through the broadcast dots, while the sentinel
+    reproduces the reference's NaN decisions per consumer (dist 1e30 fails
+    < th and |.| < th_dist_v, uprightness 0 fails > 0.707, heading 0 fails
+    < 0)."""
+    fin = (
+        jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
+        & jnp.isfinite(d)
+    )
+    return (
+        jnp.where(fin, nx, 0.0),
+        jnp.where(fin, ny, 0.0),
+        jnp.where(fin, nz, 0.0),
+        jnp.where(fin, d, jnp.float32(1e30)),
+    )
+
+
 def make_fit_kernel(params: Params, nt: int, num_zone0_patches: int):
     """Build the kernel body for a given tile count and parameter set."""
     p = params
@@ -298,16 +319,7 @@ def make_fit_kernel(params: Params, nt: int, num_zone0_patches: int):
             my = mqy + gates_ref[:, 2:3]
             mz = mqz + gates_ref[:, 3:4]
             d = -(nx * mx + ny * my + nz * mz)
-            # Non-finite plane (1-point fit) -> [0,0,0,1e30] sentinel, same
-            # as pipeline._fit_planes / fit_kernel_grid (see there).
-            fin = (
-                jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
-                & jnp.isfinite(d)
-            )
-            nx = jnp.where(fin, nx, 0.0)
-            ny = jnp.where(fin, ny, 0.0)
-            nz = jnp.where(fin, nz, 0.0)
-            d = jnp.where(fin, d, jnp.float32(1e30))
+            nx, ny, nz, d = apply_plane_sentinel(nx, ny, nz, d)
             upd = (gate > 0.5) & (n > 0)
             old = plane_ref[:]
             new = jnp.concatenate(

@@ -66,6 +66,7 @@ from patchworkpp_tpu.ops.pallas.fit_kernel import (
     OUT_SNAP,
     _lane_prefix_exclusive,
     _plane_from_cov,
+    apply_plane_sentinel,
     build_pass_program,
 )
 from patchworkpp_tpu.ops.pallas.movement import (
@@ -280,18 +281,7 @@ def make_fit_kernel_grid(
         nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
         mx, my, mz = mqx + spx, mqy + spy, mqz + spz
         d = -(nx * mx + ny * my + nz * mz)
-        # Non-finite plane (1-point fit: cov is 0/0) -> the [0,0,0,1e30]
-        # sentinel, exactly as pipeline._fit_planes: a NaN row would poison
-        # every tile through the bcast dots, while the sentinel reproduces
-        # the reference's NaN decisions per consumer (fused == unfused).
-        fin = (
-            jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
-            & jnp.isfinite(d)
-        )
-        nx = jnp.where(fin, nx, 0.0)
-        ny = jnp.where(fin, ny, 0.0)
-        nz = jnp.where(fin, nz, 0.0)
-        d = jnp.where(fin, d, jnp.float32(1e30))
+        nx, ny, nz, d = apply_plane_sentinel(nx, ny, nz, d)
         upd = (gate_p > 0.5) & (n > 0)
         old = plane_ref[:]
         new = jnp.concatenate(

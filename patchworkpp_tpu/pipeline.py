@@ -193,7 +193,9 @@ def _fit_planes(
     # reference's NaN decisions exactly — dist 1e30 fails `< th` and
     # `|.| < th_dist_v`, uprightness 0 fails `> 0.707`, heading 0 fails
     # `< 0` — while staying finite through the movement. (svals keep their
-    # NaN: they ride per-patch scalars, never lookups.)
+    # NaN: they ride per-patch scalars, never lookups.) MUST stay
+    # decision-identical to ops/pallas/fit_kernel.apply_plane_sentinel —
+    # the fused == unfused label invariant depends on it.
     fin = jnp.isfinite(normal).all(axis=-1) & jnp.isfinite(d)
     normal = jnp.where(fin[:, None], normal, 0.0)
     d = jnp.where(fin, d, jnp.float32(1e30))
@@ -359,6 +361,22 @@ def make_frame_fn(
         )
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
+
+    # The batched FIFO append (_write_at) drops writes that would run past
+    # BUF_CAP; that is unreachable only while the post-trim count stays
+    # <= BUF_CAP - (max new samples per frame). Reject configs that could
+    # silently lose samples instead.
+    from patchworkpp_tpu.state import BUF_CAP
+
+    _max_storage_ok = BUF_CAP - tables.max_ring_patches
+    for _nm in ("max_elevation_storage", "max_flatness_storage"):
+        if getattr(p, _nm) > _max_storage_ok:
+            raise ValueError(
+                f"{_nm}={getattr(p, _nm)} exceeds {_max_storage_ok} "
+                f"(BUF_CAP={BUF_CAP} minus the {tables.max_ring_patches} "
+                "samples a ring can add per frame); the adaptive buffers "
+                "would silently drop samples"
+            )
 
     zone_tab = jnp.asarray(tables.zone)
     cring_tab = jnp.asarray(tables.cring)

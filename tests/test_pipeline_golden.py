@@ -154,6 +154,15 @@ def test_degenerate_single_seed_fit_is_contained():
         [10.0 * np.cos(th_a), 10.0 * np.sin(th_a),
          np.r_[-1.6, np.full(n_a - 1, 3.0)], np.full(n_a, 0.5)], axis=1
     ).astype(np.float32)
+    # Patch A0: same construction in ZONE 0 (r~5): the sentinel's nz=0
+    # keeps R-VPF's vert test true where the reference's NaN fails it —
+    # the refit must be a no-op so labels still agree (pipeline R-VPF block,
+    # kernel snapshot vert).
+    th_a0 = 0.3 + np.arange(n_a) * 1e-3
+    pa0 = np.stack(
+        [5.0 * np.cos(th_a0), 5.0 * np.sin(th_a0),
+         np.r_[-1.6, np.full(n_a - 1, 3.0)], np.full(n_a, 0.5)], axis=1
+    ).astype(np.float32)
     # Patch B (clean ground plane): 60 points at r~15.
     n_b = 60
     th_b = 1.2 + rng.uniform(0, 0.05, n_b)
@@ -162,7 +171,8 @@ def test_degenerate_single_seed_fit_is_contained():
         [rr * np.cos(th_b), rr * np.sin(th_b),
          rng.normal(-1.73, 0.01, n_b), np.full(n_b, 0.5)], axis=1
     ).astype(np.float32)
-    cloud = np.concatenate([pa, pb]).astype(np.float32)
+    n_a = 2 * n_a  # A + A0 rows lead the cloud
+    cloud = np.concatenate([pa, pa0, pb]).astype(np.float32)
 
     ref = NumpyPatchworkpp().estimate_ground(cloud)
     assert ref[n_a:].sum() > n_b // 2  # the clean patch IS mostly ground
