@@ -192,6 +192,20 @@ class GroundSegmentationServer:
         verbose getTimeTaken analog; utils.profiling.FrameTimer)."""
         return self.timer.report()
 
+    # ------------------------------------------------------------ persistence
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the adaptive state (thresholds, sensor height, FIFO
+        buffers) so a restarted server resumes adaptation exactly where this
+        one stopped — a deployment capability the reference lacks (its state
+        dies with the process, patchworkpp.h:174-175). Call while stopped or
+        between frames; the worker thread is not paused here."""
+        self._model.save_state(path)
+
+    def load_state(self, path: str) -> None:
+        """Restore a checkpoint saved by :meth:`save_state`."""
+        self._model.load_state(path)
+
     @property
     def sensor_height(self) -> float:
         return self._model.sensor_height

@@ -77,6 +77,26 @@ def test_server_sync_process(scans):
     assert out.latency_s > 0
 
 
+def test_server_checkpoint_restart(scans, tmp_path):
+    """A restarted server resuming from a checkpoint must continue the
+    adaptation chain exactly: frame 3 after restore == frame 3 without."""
+    a, b, c = (scans[n][::SUB] for n in ["000000", "000001", "000002"])
+    srv1 = GroundSegmentationServer(config=ServerConfig(capacity=8192))
+    srv1.process(CloudMsg(points=a, stamp=0.0))
+    srv1.process(CloudMsg(points=b, stamp=1.0))
+    path = str(tmp_path / "server_state.npz")
+    srv1.save_state(path)
+    r_cont = srv1.process(CloudMsg(points=c, stamp=2.0))
+
+    srv2 = GroundSegmentationServer(config=ServerConfig(capacity=8192))
+    srv2.load_state(path)
+    r_resume = srv2.process(CloudMsg(points=c, stamp=2.0))
+    np.testing.assert_array_equal(
+        r_resume.result.ground_mask, r_cont.result.ground_mask
+    )
+    assert srv2.sensor_height == srv1.sensor_height
+
+
 def test_server_requires_start(scans):
     srv = GroundSegmentationServer(config=ServerConfig(capacity=8192))
     with pytest.raises(RuntimeError):
