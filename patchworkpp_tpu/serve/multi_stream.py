@@ -60,3 +60,27 @@ class MultiStreamSegmenter:
 
     def reset(self, stream_id: Hashable) -> None:
         self._states.pop(stream_id, None)
+
+    # ------------------------------------------------------------ persistence
+
+    def save_states(self, path: str) -> None:
+        """Checkpoint every stream's adaptive state into one npz (keys are
+        ``<field>:<stream_id>``); a restarted multiplexer resumes all
+        chains exactly. Stream ids must be str()-able round-trippably."""
+        out = {}
+        for sid, st in self._states.items():
+            for k, v in st.to_numpy().items():
+                out[f"{k}:{sid}"] = v
+        np.savez(path, **out)
+
+    def load_states(self, path: str) -> None:
+        """Restore a :meth:`save_states` checkpoint (string stream ids)."""
+        from patchworkpp_tpu.state import AdaptiveState
+
+        with np.load(path) as data:
+            per_stream: Dict[str, Dict[str, np.ndarray]] = {}
+            for key, v in data.items():
+                k, sid = key.split(":", 1)
+                per_stream.setdefault(sid, {})[k] = v
+        for sid, d in per_stream.items():
+            self._states[sid] = AdaptiveState.from_numpy(d)

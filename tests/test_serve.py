@@ -24,3 +24,27 @@ def test_multi_stream_segmenter_isolated_states(scans):
     assert ms.sensor_height("a") == ref_a.sensor_height
     assert ms.sensor_height("b") == ref_b.sensor_height
     assert sorted(ms.streams) == ["a", "b"]
+
+
+def test_multi_stream_checkpoint_roundtrip(scans, tmp_path):
+    """save_states/load_states must resume EVERY stream's chain exactly."""
+    from patchworkpp_tpu.serve import MultiStreamSegmenter
+
+    sub, cap = 16, 8192
+    ms = MultiStreamSegmenter(capacity=cap)
+    ms.segment("a", scans["000000"][::sub])
+    ms.segment("b", scans["000002"][::sub])
+    path = str(tmp_path / "streams.npz")
+    ms.save_states(path)
+    cont_a = ms.segment("a", scans["000001"][::sub]).ground_mask
+    cont_b = ms.segment("b", scans["000003"][::sub]).ground_mask
+
+    ms2 = MultiStreamSegmenter(capacity=cap)
+    ms2.load_states(path)
+    assert sorted(ms2.streams) == ["a", "b"]
+    np.testing.assert_array_equal(
+        ms2.segment("a", scans["000001"][::sub]).ground_mask, cont_a
+    )
+    np.testing.assert_array_equal(
+        ms2.segment("b", scans["000003"][::sub]).ground_mask, cont_b
+    )
