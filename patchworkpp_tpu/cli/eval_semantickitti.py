@@ -10,6 +10,9 @@ terrain), plus per-frame latency.
 Usage:
   ppk-eval --root /data/semantickitti --seq 00
   ppk-eval --scan-dir /root/reference/data   # no labels: timing only
+  ppk-eval --scan-dir /root/reference/data --golden golden/reference_ground_indices.npz
+      # accuracy vs the compiled C++ reference's own labels (no dataset
+      # needed; exact parity shows up as precision=recall=f1=1.0)
 """
 
 import argparse
@@ -38,6 +41,16 @@ def main() -> None:
              "(estimate_ground_sequence — bitwise-equal to per-frame; "
              "amortizes dispatch overhead for offline evaluation)",
     )
+    ap.add_argument(
+        "--golden",
+        help="npz of reference ground indices (golden/README.md) to score "
+             "against instead of SemanticKITTI labels; keys "
+             "<variant>_<scanname>",
+    )
+    ap.add_argument(
+        "--golden-variant", default="seq", choices=["seq", "fresh"],
+        help="golden key prefix: 'seq' matches streaming with adapted state",
+    )
     args = ap.parse_args()
 
     if args.root:
@@ -48,6 +61,16 @@ def main() -> None:
         ap.error("need --root or --scan-dir")
 
     model = PatchworkPP(Params(), capacity=args.capacity)
+
+    golden = np.load(args.golden) if args.golden else None
+
+    def golden_mask(j: int, n: int):
+        key = f"{args.golden_variant}_{ds.names[j]}"
+        if key not in golden:
+            return None
+        m = np.zeros(n, bool)
+        m[golden[key]] = True
+        return m
 
     tp = fp = fn_ = tn = 0
     times = []
@@ -66,9 +89,12 @@ def main() -> None:
             times.append(res.time_taken_s)
             results = [res]
         for j, res in zip(idxs, results):
-            labels = ds.labels(j)
-            if labels is not None:
-                gt = ground_truth_mask(labels)
+            if golden is not None:
+                gt = golden_mask(j, len(res.ground_mask))
+            else:
+                labels = ds.labels(j)
+                gt = ground_truth_mask(labels) if labels is not None else None
+            if gt is not None:
                 r = evaluate_masks(res.ground_mask, gt)
                 tp += r.tp
                 fp += r.fp

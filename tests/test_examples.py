@@ -65,6 +65,31 @@ def test_eval_harness_timing_only(capsys, monkeypatch, tmp_path):
     assert '"frames": 1' in out
 
 
+def test_eval_harness_golden_mode(capsys, monkeypatch, tmp_path):
+    """--golden scores against the C++ reference's own labels: exact parity
+    must read back as precision = recall = f1 = 1.0 (full-res scan; the
+    golden indices are full-resolution only)."""
+    import json
+
+    for name in ["000000.bin"]:
+        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "ppk-eval", "--scan-dir", str(tmp_path), "--json",
+            "--golden", os.path.join(repo, "golden", "reference_ground_indices.npz"),
+            "--golden-variant", "fresh",
+        ],
+    )
+    from patchworkpp_tpu.cli import eval_semantickitti
+
+    eval_semantickitti.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["precision"] == 1.0 and out["recall"] == 1.0 and out["f1"] == 1.0
+
+
 def test_eval_harness_batched_dispatch(capsys, monkeypatch, tmp_path):
     for name in ["000000.bin", "000001.bin"]:
         os.symlink(f"/root/reference/data/{name}", tmp_path / name)
