@@ -66,6 +66,23 @@ def main() -> None:
              "the point-sharded multi-chip program runs per shard)",
     )
     ap.add_argument(
+        "--streams", type=int, default=1, metavar="S",
+        help="measure S independent adaptive streams multiplexed on this "
+             "one chip (the serve/multi_stream.py serving mode) and report "
+             "AGGREGATE scans/s. Each stream gets a deterministically "
+             "perturbed copy of the 6-scan cycle (distinct inputs/states, "
+             "so the relay result cache cannot elide work). Default 1: the "
+             "single-stream driver benchmark.",
+    )
+    ap.add_argument(
+        "--dispatch", default="epoch", choices=["epoch", "frame"],
+        help="epoch: each dispatch scans 6*repeat state-chained frames of "
+             "one stream (streams interleave between dispatches — the "
+             "recommended serving mode); frame: one dispatch per frame, "
+             "round-robin across streams (the latency-critical mode; pays "
+             "the relay's per-dispatch overhead on this tunneled pod)",
+    )
+    ap.add_argument(
         "--repeat", type=int, default=4,
         help="tile the 6-scan cycle this many times per scan-epoch (one "
              "dispatch covers 6*repeat state-chained frames; amortizes the "
@@ -100,6 +117,10 @@ def main() -> None:
             raise SystemExit(f"capacity {capacity} < {len(pts)} points")
         stack[i, : len(pts)] = pts
         npts[i] = len(pts)
+    if args.streams > 1 or args.dispatch == "frame":
+        _run_streams(args, stack, npts)
+        return
+
     if args.repeat > 1:
         stack = np.tile(stack, (args.repeat, 1, 1))
         npts = np.tile(npts, args.repeat)
@@ -178,6 +199,111 @@ def main() -> None:
                 # same value — the delta is tunnel-relay amortization, not
                 # engine speed).
                 "frames_per_dispatch": frames_per_epoch,
+            }
+        )
+    )
+
+
+def _run_streams(args, stack6, npts6) -> None:
+    """Aggregate throughput of S multiplexed adaptive streams on one chip.
+
+    Measures the two serving modes wired into ``serve/multi_stream.py`` /
+    ``parallel/sharded.py`` (ROOFLINE.md "Multi-stream lowerings"): streams
+    interleave whole ``make_sequence_fn`` epochs (``--dispatch epoch``) or
+    single-frame dispatches round-robin (``--dispatch frame``). The frame is
+    never vmapped — a batched lowering collapses throughput (measured 6.5x
+    per-frame degradation at unit batch). Each stream's scans carry a
+    distinct deterministic mm-scale offset so no two dispatches see
+    identical (state, input) pairs: the tunnel relay's result cache cannot
+    elide work, and every stream's adaptation chain is independently real
+    (asserted on its ring-0 elevation buffer).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu import Params, init_state
+    from patchworkpp_tpu.pipeline import make_frame_fn, make_sequence_fn
+
+    s = args.streams
+    params = Params()
+    fused = {"auto": None, "unfused": False}.get(args.fused, args.fused)
+
+    # Stream 0 is the pristine workload; stream k rides k mm higher (real
+    # rows only — padding must stay zero).
+    per_stream = []
+    for k in range(s):
+        q = stack6.copy()
+        for i in range(len(npts6)):
+            q[i, : npts6[i], 2] += 0.001 * k
+        per_stream.append(q)
+
+    states = [init_state(params) for _ in range(s)]
+
+    if args.dispatch == "frame":
+        fn = jax.jit(make_frame_fn(params, fused=fused), donate_argnums=(0,))
+        dev = [
+            [jnp.asarray(per_stream[k][i]) for i in range(6)]
+            for k in range(s)
+        ]
+        # Pre-staged device scalars: no slice dispatch inside the timed loop.
+        nd = [jnp.int32(int(v)) for v in npts6]
+
+        def cycle():
+            for i in range(6):
+                for k in range(s):
+                    states[k], _ = fn(states[k], dev[k][i], nd[i])
+
+        frames_per_cycle = 6 * s
+        frames_per_dispatch = 1
+        cycles = max(1, args.epochs // s)
+    else:
+        ep = jax.jit(make_sequence_fn(params, fused=fused))
+        rep = max(1, args.repeat)
+        dev = [
+            jnp.asarray(np.tile(per_stream[k], (rep, 1, 1))) for k in range(s)
+        ]
+        npts_r = jnp.asarray(np.tile(npts6, rep))
+
+        def cycle():
+            for k in range(s):
+                states[k], _ = ep(states[k], dev[k], npts_r)
+
+        frames_per_cycle = 6 * rep * s
+        frames_per_dispatch = 6 * rep
+        cycles = max(1, args.epochs // (rep * s))
+
+    for _ in range(2):  # warmup: compile + steady state
+        cycle()
+    for k in range(s):
+        float(states[k].sensor_height)
+    warm = [np.asarray(st.elev_buf[0]) for st in states]
+
+    frames = 0
+    t0 = time.perf_counter()
+    for _ in range(cycles):
+        cycle()
+        frames += frames_per_cycle
+    for k in range(s):
+        float(states[k].sensor_height)  # scalar sync per stream
+    dt = time.perf_counter() - t0
+    for k in range(s):
+        assert not np.array_equal(np.asarray(states[k].elev_buf[0]), warm[k]), (
+            f"stream {k} state did not advance — loop was elided?"
+        )
+
+    agg = frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"kitti6_streams{s}_{args.dispatch}"
+                    "_agg_scans_per_s_per_chip"
+                ),
+                "value": round(agg, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(agg / BASELINE_SCANS_PER_S, 2),
+                "streams": s,
+                "frames_per_dispatch": frames_per_dispatch,
             }
         )
     )
