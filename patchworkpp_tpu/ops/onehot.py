@@ -56,6 +56,14 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     reconstructs every normal-range f32 bitwise (Dekker); out-of-range ids
     still produce an all-zero row.
 
+    When S is a multiple of 64 the one-hot is FACTORED: id = hi*64 + lo,
+    and the lookup becomes a (P, 64) one-hot dot against the table
+    regrouped as (64, S/64 * 3C), followed by an exact 0/1 select of the
+    hi block. Bitwise-identical output (every stage still has exactly one
+    contributing addend), but the one-hot compare build drops from P*S to
+    P*(64 + S/64) VPU ops, and for narrow tables the MXU contraction
+    shrinks from ceil(S/128) passes to one.
+
     Args:
       table: (S, C) float32 (S == SPAD).
       patch_id: (P,) int32 in [0, S).
@@ -84,14 +92,42 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     mid, r2 = _chop(r1)
     lo, _ = _chop(r2)  # r2 fits 8 significand bits: truncation is exact
     packed = jnp.concatenate([hi, mid, lo], axis=1)  # (S, 3C) bf16
-    _SITE[0] += 1
-    iota = jnp.arange(table.shape[0], dtype=patch_id.dtype)
-    iota = jax.lax.optimization_barrier(iota + jnp.int32(_SITE[0])) - jnp.int32(
-        _SITE[0]
-    )
-    oh = (patch_id[:, None] == iota[None, :]).astype(jnp.bfloat16)
-    d = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
+    s = table.shape[0]
     c = table.shape[1]
+
+    if s % 64 == 0 and s > 64:
+        # Factored path: regroup the packed table so that block b of the
+        # column axis holds the rows with hi == b; the lo one-hot then
+        # fetches ALL hi-candidate rows for each point in one dot, and an
+        # exact 0/1 hi select keeps the right block. ids outside [0, S)
+        # yield an all-zero row exactly as the flat path does (hi select
+        # never fires; negative >> keeps the sign so hi < 0 too).
+        nb = s // 64
+        mat = packed.reshape(nb, 64, 3 * c).transpose(1, 0, 2).reshape(
+            64, nb * 3 * c
+        )
+        hi_id = patch_id >> 6
+        lo_id = jnp.where(patch_id >= 0, patch_id & 63, -1)
+        _SITE[0] += 1
+        iota = jnp.arange(64, dtype=patch_id.dtype)
+        iota = jax.lax.optimization_barrier(
+            iota + jnp.int32(_SITE[0])
+        ) - jnp.int32(_SITE[0])
+        oh = (lo_id[:, None] == iota[None, :]).astype(jnp.bfloat16)
+        d = jnp.dot(oh, mat, preferred_element_type=jnp.float32)
+        d = d.reshape(patch_id.shape[0], nb, 3 * c)
+        sel = (hi_id[:, None] == jnp.arange(nb, dtype=patch_id.dtype)).astype(
+            jnp.float32
+        )
+        d = jnp.sum(d * sel[:, :, None], axis=1)  # (P, 3C)
+    else:
+        _SITE[0] += 1
+        iota = jnp.arange(s, dtype=patch_id.dtype)
+        iota = jax.lax.optimization_barrier(
+            iota + jnp.int32(_SITE[0])
+        ) - jnp.int32(_SITE[0])
+        oh = (patch_id[:, None] == iota[None, :]).astype(jnp.bfloat16)
+        d = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
     return d[:, :c] + d[:, c : 2 * c] + d[:, 2 * c :]
 
 

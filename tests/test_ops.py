@@ -64,6 +64,31 @@ def test_patch_lookup_exact(rng):
     np.testing.assert_array_equal(out, np.asarray(table)[np.asarray(pid)])
 
 
+def test_patch_lookup_factored_edges(rng):
+    """The factored (64 x S/64) one-hot path: out-of-range and negative ids
+    produce all-zero rows (as the flat one-hot did), extreme-exponent and
+    signed-zero table values survive the bf16x3 chop bitwise, and a width
+    that is not a multiple of 64 still takes the flat branch."""
+    pid = rng.integers(-8, SPAD + 16, 4096).astype(np.int32)
+    table = (
+        rng.normal(size=(SPAD, 5)) * np.exp(rng.uniform(-60, 60, (SPAD, 5)))
+    ).astype(np.float32)
+    table[3, 0] = 1e30  # the degenerate-plane sentinel
+    table[7, 2] = -0.0
+    out = np.asarray(jax.jit(patch_lookup)(jnp.asarray(table), jnp.asarray(pid)))
+    ref = np.zeros((4096, 5), np.float32)
+    inr = (pid >= 0) & (pid < SPAD)
+    ref[inr] = table[pid[inr]]
+    np.testing.assert_array_equal(out, ref)
+    assert (out[~inr] == 0.0).all()
+
+    # Flat branch (width 96 is not a 64 multiple > 64): same contract.
+    t2 = jnp.asarray(table[:96])
+    p2 = jnp.asarray(rng.integers(0, 96, 1024).astype(np.int32))
+    out2 = np.asarray(jax.jit(patch_lookup)(t2, p2))
+    np.testing.assert_array_equal(out2, table[:96][np.asarray(p2)])
+
+
 def test_patch_reduce_matches_segment_sum(rng):
     pid = rng.integers(0, 505, 4096).astype(np.int32)
     feats = rng.normal(size=(4096, 5)).astype(np.float32)
