@@ -56,13 +56,17 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     reconstructs every normal-range f32 bitwise (Dekker); out-of-range ids
     still produce an all-zero row.
 
-    When S is a multiple of 64 the one-hot is FACTORED: id = hi*64 + lo,
-    and the lookup becomes a (P, 64) one-hot dot against the table
-    regrouped as (64, S/64 * 3C), followed by an exact 0/1 select of the
-    hi block. Bitwise-identical output (every stage still has exactly one
-    contributing addend), but the one-hot compare build drops from P*S to
-    P*(64 + S/64) VPU ops, and for narrow tables the MXU contraction
-    shrinks from ceil(S/128) passes to one.
+    For NARROW tables over a 64-multiple S the one-hot is FACTORED:
+    id = hi*64 + lo, and the lookup becomes a (P, 64) one-hot dot against
+    the table regrouped as (64, S/64 * 3C), followed by an exact 0/1
+    select of the hi block. Bitwise-identical output (every stage still
+    has exactly one contributing addend); the one-hot compare build drops
+    from P*S to P*(64 + S/64) VPU ops and the MXU contraction shrinks
+    from ceil(S/128) passes to one. The hi-select epilogue costs
+    ~2*(S/64)*3C VPU ops per point, so WIDE tables stay on the flat
+    one-hot: at S=512 the crossover is C~9 (measured on-chip: the C=17
+    label table is ~40 us/frame FASTER flat, the C<=3 gate/shift lookups
+    are faster factored).
 
     Args:
       table: (S, C) float32 (S == SPAD).
@@ -95,7 +99,10 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     s = table.shape[0]
     c = table.shape[1]
 
-    if s % 64 == 0 and s > 64:
+    # Factored pays 2*nb*3C select ops/point to save (S - 64 - nb)
+    # compares/point; require a clear margin before taking it.
+    nb64 = s // 64
+    if s % 64 == 0 and s > 64 and 6 * c * nb64 <= s - 64:
         # Factored path: regroup the packed table so that block b of the
         # column axis holds the rows with hi == b; the lo one-hot then
         # fetches ALL hi-candidate rows for each point in one dot, and an

@@ -88,6 +88,14 @@ def test_patch_lookup_factored_edges(rng):
     out2 = np.asarray(jax.jit(patch_lookup)(t2, p2))
     np.testing.assert_array_equal(out2, table[:96][np.asarray(p2)])
 
+    # Wide tables (C=17, e.g. the label table) stay on the flat one-hot
+    # (the hi-select epilogue would cost more than the compare savings);
+    # contract unchanged either way.
+    t3 = jnp.asarray(np.tile(table, (1, 4))[:, :17])
+    p3 = jnp.asarray(rng.integers(0, SPAD, 2048).astype(np.int32))
+    out3 = np.asarray(jax.jit(patch_lookup)(t3, p3))
+    np.testing.assert_array_equal(out3, np.asarray(t3)[np.asarray(p3)])
+
 
 def test_patch_reduce_matches_segment_sum(rng):
     pid = rng.integers(0, 505, 4096).astype(np.int32)
