@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from patchworkpp_tpu.params import CZMGeometry, Params
@@ -79,6 +80,30 @@ class MeshComm(FrameComm):
         return s, k
 
 
+def _comm_for(mesh: Mesh, axis: str) -> FrameComm:
+    """The comm hooks for this mesh — collective-free on a 1-device axis.
+
+    With one shard the default FrameComm IS the single-device algorithm
+    (bitwise: MeshComm's table-merge LPR and psum/all_gather reduce to
+    identities), so a 1-device mesh emits no channel ops at all.
+    """
+    return FrameComm() if mesh.shape[axis] == 1 else MeshComm(axis)
+
+
+def _single_device(mesh: Mesh) -> bool:
+    """True when the whole mesh is one device — skip SPMD lowering entirely.
+
+    Measured on the tunneled axon pod (2026-08-18): executing ANY
+    SPMD-compiled executable (shard_map / Mesh lowering) costs ~3-4.5 s of
+    fixed relay overhead PER DISPATCH, regardless of the work inside (the
+    same frame program runs 7.7 ms/dispatch as a plain jit and 4.5 s under
+    a 1-device shard_map, with identical results). Directly-attached
+    hardware does not pay this, but a 1-device mesh gains nothing from
+    SPMD lowering anywhere, so the plain jit program — the same frame
+    function with identity comm hooks — is returned instead."""
+    return int(np.prod(mesh.devices.shape)) == 1
+
+
 def build(params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = False):
     """Jitted point-sharded frame step over ``mesh[axis]``.
 
@@ -87,7 +112,15 @@ def build(params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = 
     axis size), state is replicated, and the result mask is row-sharded.
     """
     geom = CZMGeometry.create(params)
-    frame = make_frame_fn(params, geom, comm=MeshComm(axis))
+    donate = (0,) if donate_state else ()
+    if _single_device(mesh):
+        # Plain jit of the product frame (fused=auto): same results, no
+        # SPMD executable. See _single_device for the measured why.
+        return jax.jit(
+            make_frame_fn(params, geom, comm=_comm_for(mesh, axis)),
+            donate_argnums=donate,
+        )
+    frame = make_frame_fn(params, geom, comm=_comm_for(mesh, axis), fused=False)
 
     state_spec = jax.tree.map(lambda _: P(), AdaptiveState(*[0] * 7))
     result_spec = FrameResult(
@@ -106,7 +139,6 @@ def build(params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = 
         out_specs=(state_spec, result_spec),
         check_vma=False,
     )
-    donate = (0,) if donate_state else ()
     return jax.jit(shard_frame, donate_argnums=donate)
 
 
@@ -120,7 +152,15 @@ def build_sequence(params: Params, mesh: Mesh, axis: str = "point"):
     the point-sharded frame B times in order; one dispatch per chain).
     """
     geom = CZMGeometry.create(params)
-    frame = make_frame_fn(params, geom, comm=MeshComm(axis))
+    if _single_device(mesh):
+        # Plain jit scan of the product frame (fused=auto): same results,
+        # no SPMD executable. See _single_device for the measured why.
+        from patchworkpp_tpu.pipeline import make_sequence_fn
+
+        return jax.jit(
+            make_sequence_fn(params, geom, comm=_comm_for(mesh, axis))
+        )
+    frame = make_frame_fn(params, geom, comm=_comm_for(mesh, axis), fused=False)
 
     state_spec = jax.tree.map(lambda _: P(), AdaptiveState(*[0] * 7))
     shard_frame = jax.shard_map(

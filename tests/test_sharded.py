@@ -83,6 +83,27 @@ def test_point_sharded_frame(mesh8, scans, single_results):
     assert abs(float(new_state.sensor_height) - 1.723) < 0.2
 
 
+def test_point_sharded_1device_mesh_exact(scans, single_results):
+    """A 1-device mesh takes the collective-free specialization
+    (point_sharded._comm_for): it must be EXACTLY the single-device
+    unfused program — same labels, no channel ops in the lowering (on the
+    tunneled TPU pod each collective costs ~6 ms of relay round-trip)."""
+    p = Params()
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("d",))
+    fn = make_point_sharded_frame_fn(p, mesh1, axis="d")
+    name = "000000"
+    cloud = scans[name][::SUB]
+    state = init_state(p)
+    _, res = fn(state, jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
+    got = np.asarray(res.ground_mask)[: len(cloud)]
+    np.testing.assert_array_equal(got, single_results[name])
+
+    txt = jax.jit(fn).lower(
+        state, jnp.zeros((CAPACITY, 4), jnp.float32), jnp.int32(len(cloud))
+    ).as_text()
+    assert "channel_handle" not in txt, "1-device mesh emitted collectives"
+
+
 def test_point_sharded_state_matches_single(mesh8, scans):
     """Adaptive state after a sharded frame ~= single-device state."""
     p = Params()
