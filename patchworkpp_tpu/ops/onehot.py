@@ -123,9 +123,17 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
         oh = (lo_id[:, None] == iota[None, :]).astype(jnp.bfloat16)
         d = jnp.dot(oh, mat, preferred_element_type=jnp.float32)
         d = d.reshape(patch_id.shape[0], nb, 3 * c)
-        sel = (hi_id[:, None] == jnp.arange(nb, dtype=patch_id.dtype)).astype(
-            jnp.float32
-        )
+        # The hi-select iota gets the same per-site barrier as the one-hot
+        # iotas: several factored lookups per frame share the same patch_id
+        # (e.g. the sorted-order gate/shift lookups), and a CSE-shared
+        # (P, nb) select would be materialized to HBM and re-read per
+        # consumer instead of fusing into each dot epilogue.
+        _SITE[0] += 1
+        hiota = jnp.arange(nb, dtype=patch_id.dtype)
+        hiota = jax.lax.optimization_barrier(
+            hiota + jnp.int32(_SITE[0])
+        ) - jnp.int32(_SITE[0])
+        sel = (hi_id[:, None] == hiota[None, :]).astype(jnp.float32)
         d = jnp.sum(d * sel[:, :, None], axis=1)  # (P, 3C)
     else:
         _SITE[0] += 1

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from patchworkpp_tpu.params import CZMGeometry, Params
@@ -101,7 +100,7 @@ def _single_device(mesh: Mesh) -> bool:
     hardware does not pay this, but a 1-device mesh gains nothing from
     SPMD lowering anywhere, so the plain jit program — the same frame
     function with identity comm hooks — is returned instead."""
-    return int(np.prod(mesh.devices.shape)) == 1
+    return mesh.size == 1
 
 
 def build(params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = False):

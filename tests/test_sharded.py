@@ -84,10 +84,10 @@ def test_point_sharded_frame(mesh8, scans, single_results):
 
 
 def test_point_sharded_1device_mesh_exact(scans, single_results):
-    """A 1-device mesh takes the collective-free specialization
-    (point_sharded._comm_for): it must be EXACTLY the single-device
-    unfused program — same labels, no channel ops in the lowering (on the
-    tunneled TPU pod each collective costs ~6 ms of relay round-trip)."""
+    """A 1-device mesh takes the plain-jit bypass (point_sharded
+    ._single_device — SPMD-compiled executables cost seconds per dispatch
+    on the tunneled pod): same labels as the single-device program, and
+    the lowering contains no SPMD channel ops at all."""
     p = Params()
     mesh1 = Mesh(np.array(jax.devices()[:1]), ("d",))
     fn = make_point_sharded_frame_fn(p, mesh1, axis="d")
@@ -102,6 +102,23 @@ def test_point_sharded_1device_mesh_exact(scans, single_results):
         state, jnp.zeros((CAPACITY, 4), jnp.float32), jnp.int32(len(cloud))
     ).as_text()
     assert "channel_handle" not in txt, "1-device mesh emitted collectives"
+
+
+def test_point_sharded_size1_axis_on_multidevice_mesh(scans, single_results):
+    """A multi-device mesh whose POINT axis has size 1 keeps the shard_map
+    program but swaps MeshComm for the identity FrameComm
+    (point_sharded._comm_for): labels must stay exact and the point axis
+    must emit no collectives."""
+    p = Params()
+    devs = np.array(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devs, ("d", "pt"))
+    fn = make_point_sharded_frame_fn(p, mesh, axis="pt")
+    name = "000000"
+    cloud = scans[name][::SUB]
+    state = init_state(p)
+    _, res = fn(state, jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
+    got = np.asarray(res.ground_mask)[: len(cloud)]
+    np.testing.assert_array_equal(got, single_results[name])
 
 
 def test_point_sharded_state_matches_single(mesh8, scans):
