@@ -146,6 +146,71 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     return d[:, :c] + d[:, c : 2 * c] + d[:, 2 * c :]
 
 
+def _chop_table(table: jnp.ndarray):
+    """f32 table -> (S, 3C) bf16 [hi | mid | lo] exact chop split.
+
+    Integer mask/shift split (not float converts) — see patch_lookup for why
+    XLA's convert-elision makes float round-trip splits silently lossy.
+    """
+    def _chop(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        part = jax.lax.bitcast_convert_type(
+            (bits >> 16).astype(jnp.int16), jnp.bfloat16
+        )
+        kept = jax.lax.bitcast_convert_type(
+            bits & jnp.int32(-65536), jnp.float32
+        )
+        return part, x - kept
+
+    hi, r1 = _chop(table)
+    mid, r2 = _chop(r1)
+    lo, _ = _chop(r2)
+    return jnp.concatenate([hi, mid, lo], axis=1)
+
+
+def patch_lookup_cols(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
+    """Transposed-output lookup: result[c, i] = table[patch_id[i], c].
+
+    Bitwise-equal to ``patch_lookup(table, patch_id).T`` (same single-addend
+    selections, same (hi + mid) + lo part order), but the dot is issued in
+    the (C, P) orientation so each output row is a full-lane (P,) vector:
+    downstream per-point replay math (plane distances, peel tests, A-GLE
+    selects) consumes rows with 128/128 lane utilization instead of slicing
+    a (P, C) array whose minor-dim ops run at C/128 utilization (CLAUDE.md:
+    a single minor-dim-4 elementwise op measured 45 us/frame at P=131k).
+
+    Always the flat (S, P)-oriented one-hot. A 128-block factored variant
+    (regroup the table to one K tile + hi-select epilogue over (P,) rows)
+    was built and measured on-chip 2026-08-19: 593 us/iter vs 212 flat-cols
+    vs 279 for the (P, C) orientation at P=131k, C=17 — the (nb*3C, P)
+    intermediate + per-block epilogue more than erase the saved K tiles, so
+    the factored form was removed.
+
+    Args:
+      table: (S, C) float32 (S == SPAD or any lane multiple).
+      patch_id: (P,) int32; ids outside [0, S) yield an all-zero column.
+
+    Returns:
+      (C, P) float32.
+    """
+    packed = _chop_table(table)  # (S, 3C)
+    s = table.shape[0]
+    c = table.shape[1]
+    pdt = patch_id.dtype
+
+    _SITE[0] += 1
+    iota = jnp.arange(s, dtype=pdt)
+    iota = jax.lax.optimization_barrier(
+        iota + pdt.type(_SITE[0])
+    ) - pdt.type(_SITE[0])
+    oh_t = (iota[:, None] == patch_id[None, :]).astype(jnp.bfloat16)  # (S, P)
+    d = jax.lax.dot_general(
+        packed, oh_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (3C, P)
+    return (d[:c] + d[c : 2 * c]) + d[2 * c :]
+
+
 def patch_reduce(feats: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) -> jnp.ndarray:
     """Segment-sum per-point features into patches: the scatter-add replacement.
 

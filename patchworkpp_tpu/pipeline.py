@@ -46,7 +46,12 @@ from patchworkpp_tpu.ops.binning import (
     factored_patch_counts,
     supports_factored_counts,
 )
-from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup, patch_reduce
+from patchworkpp_tpu.ops.onehot import (
+    SPAD,
+    patch_lookup,
+    patch_lookup_cols,
+    patch_reduce,
+)
 from patchworkpp_tpu.ops.segments import (
     SortedPoints,
     patch_counts,
@@ -386,7 +391,7 @@ def make_frame_fn(
 
     def _finalize(
         state, normal, mean, svals, n_carry, g_count, processed, proc_f,
-        final_plane_tab, vpf_tables, pid_o, xyz_o, npoints,
+        final_plane_tab, vpf_tables, pid_o, xyz_cols, npoints,
     ):
         """Shared tail: A-GLE cascade, TGR, state update, original-order labels."""
         uprightness = normal[:, 2]
@@ -496,19 +501,29 @@ def make_frame_fn(
         label_tab = jnp.concatenate(
             [final_plane_tab, code[:, None]] + vpf_cols, axis=1
         )
-        lk = patch_lookup(label_tab, pid_o)
-        dist_o = jnp.sum(xyz_o * lk[:, :3], axis=1) + lk[:, 3]
-        in_proc = lk[:, 4] > 1.5
+        # Transposed-output lookup: lk rows are full-lane (P,) vectors, so
+        # the replay math below runs at 128/128 lane utilization instead of
+        # minor-dim-3 slices of a (P, 17) array (measured ~45 us/frame per
+        # minor-dim-4 elementwise op at P=131k).
+        lk = patch_lookup_cols(label_tab, pid_o)  # (17, P)
+        x_o, y_o, z_o = xyz_cols
+
+        def _plane_dist(c0):
+            return (
+                (x_o * lk[c0] + y_o * lk[c0 + 1]) + z_o * lk[c0 + 2]
+            ) + lk[c0 + 3]
+
+        dist_o = _plane_dist(0)
+        in_proc = lk[4] > 1.5
         peeled = jnp.zeros(npoints, bool)
         for it in range(len(vpf_tables)):
-            c0 = 5 + 4 * it
-            dist_v = jnp.sum(xyz_o * lk[:, c0 : c0 + 3], axis=1) + lk[:, c0 + 3]
+            dist_v = _plane_dist(5 + 4 * it)
             peeled = peeled | (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
         ground = (
             in_proc
             & ~peeled
             & (dist_o < jnp.float32(p.th_dist))
-            & (lk[:, 4] > 2.5)
+            & (lk[4] > 2.5)
         )
 
         result = FrameResult(
@@ -618,8 +633,8 @@ def make_frame_fn(
         with jax.named_scope("stage_gle_tail"):
             return _finalize(
                 state, carry.normal, carry.mean, carry.svals, carry.n, g_count,
-                processed, proc_f, final_plane_tab, vpf_tables, pid_o, xyz_o,
-                points.shape[0],
+                processed, proc_f, final_plane_tab, vpf_tables, pid_o,
+                (points[:, 0], points[:, 1], points[:, 2]), points.shape[0],
             )
 
     def frame_fused(state: AdaptiveState, points: jnp.ndarray, npts: jnp.ndarray):
@@ -724,7 +739,8 @@ def make_frame_fn(
         with jax.named_scope("stage_gle_tail"):
             return _finalize(
                 state, normal, mean, svals, n_carry, g_count, processed, proc_f,
-                final_plane_tab, vpf_tables, pid_o, xyz_o, points.shape[0],
+                final_plane_tab, vpf_tables, pid_o,
+                (points[:, 0], points[:, 1], points[:, 2]), points.shape[0],
             )
 
     return frame_fused if fused else frame

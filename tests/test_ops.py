@@ -97,6 +97,37 @@ def test_patch_lookup_factored_edges(rng):
     np.testing.assert_array_equal(out3, np.asarray(t3)[np.asarray(p3)])
 
 
+def test_patch_lookup_cols_bitwise(rng):
+    """The transposed-output lookup equals patch_lookup(...).T bitwise at
+    both widths (S=512 and S=96), including out-of-range / negative ids
+    (all-zero columns). Exercises the same hostile table values as the
+    (P, C)-oriented test (extreme exponents, the 1e30 sentinel, signed
+    zero)."""
+    from patchworkpp_tpu.ops.onehot import patch_lookup_cols
+
+    pid = rng.integers(-8, SPAD + 16, 4096).astype(np.int32)
+    table = (
+        rng.normal(size=(SPAD, 17)) * np.exp(rng.uniform(-60, 60, (SPAD, 17)))
+    ).astype(np.float32)
+    table[3, 0] = 1e30
+    table[7, 2] = -0.0
+    out = np.asarray(
+        jax.jit(patch_lookup_cols)(jnp.asarray(table), jnp.asarray(pid))
+    )
+    assert out.shape == (17, 4096)
+    ref = np.asarray(jax.jit(patch_lookup)(jnp.asarray(table), jnp.asarray(pid)))
+    np.testing.assert_array_equal(out, ref.T)
+    inr = (pid >= 0) & (pid < SPAD)
+    np.testing.assert_array_equal(out.T[inr], table[pid[inr]])
+    assert (out.T[~inr] == 0.0).all()
+
+    # Flat branch (width 96): same contract, transposed.
+    t2 = jnp.asarray(table[:96, :5])
+    p2 = jnp.asarray(rng.integers(0, 96, 1024).astype(np.int32))
+    out2 = np.asarray(jax.jit(patch_lookup_cols)(t2, p2))
+    np.testing.assert_array_equal(out2.T, np.asarray(t2)[np.asarray(p2)])
+
+
 def test_patch_reduce_matches_segment_sum(rng):
     pid = rng.integers(0, 505, 4096).astype(np.int32)
     feats = rng.normal(size=(4096, 5)).astype(np.float32)
