@@ -38,6 +38,31 @@ def moment_features(q: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def masked_moment_features_cols(
+    qx: jnp.ndarray, qy: jnp.ndarray, qz: jnp.ndarray, mask_f: jnp.ndarray
+) -> jnp.ndarray:
+    """(P,) shifted coordinate columns + 0/1 f32 mask -> masked (P, 10) monomials.
+
+    Bitwise-equal to ``moment_features(q) * mask_f[:, None]`` but built from
+    full-lane (P,) columns with the mask FOLDED into the coordinates: for
+    m in {0, 1}, (m*x)*(m*y) == (x*y)*m exactly (m=1: identical product;
+    m=0: both are a zero of the same sign, sign(x)*sign(y)), and the first
+    column is m itself. This removes the (P, 10) minor-dim elementwise
+    multiply (10/128 lane utilization) and keeps every monomial a full-lane
+    op; only the final stack (the MXU dot operand) is (P, 10)-shaped.
+    """
+    mx = qx * mask_f
+    my = qy * mask_f
+    mz = qz * mask_f
+    return jnp.stack(
+        [
+            mask_f, mx, my, mz,
+            mx * mx, mx * my, mx * mz, my * my, my * mz, mz * mz,
+        ],
+        axis=1,
+    )
+
+
 def masked_patch_moments(
     q: jnp.ndarray,
     mask: jnp.ndarray,

@@ -21,8 +21,14 @@ from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup
 
 
 class SortedPoints(NamedTuple):
-    xyz: jnp.ndarray        # (P, 3) float32, sorted by (patch_id, z)
-    z: jnp.ndarray          # (P,) convenience alias of xyz[:, 2]
+    """Struct-of-arrays: per-point elementwise math on TPU runs at full
+    128/128 lane utilization on (P,) columns, while ops on a (P, 3) array
+    use 3 of 128 lanes (a single minor-dim-4 op measured ~45 us/frame at
+    P=131k)."""
+
+    x: jnp.ndarray          # (P,) float32, sorted by (patch_id, z)
+    y: jnp.ndarray          # (P,)
+    z: jnp.ndarray          # (P,)
     patch_id: jnp.ndarray   # (P,) int32, nondecreasing
     start: jnp.ndarray      # (S+1,) int32: start offset of each patch's run
 
@@ -50,7 +56,13 @@ def z_sort_key_inverse(k: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(b, jnp.float32)
 
 
-def sort_by_patch(xyz: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) -> SortedPoints:
+def sort_by_patch(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    z: jnp.ndarray,
+    patch_id: jnp.ndarray,
+    width: int = SPAD,
+) -> SortedPoints:
     """Sort points by (patch_id, z); overflow bucket lands at the end.
 
     Unstable (a stable TPU sort threads an extra iota tiebreaker through
@@ -58,12 +70,11 @@ def sort_by_patch(xyz: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) ->
     consumer treats a patch as a set, so labels are unchanged.
     """
     pid_s, zi_s, x_s, y_s = jax.lax.sort(
-        (patch_id, z_sort_key(xyz[:, 2]), xyz[:, 0], xyz[:, 1]),
+        (patch_id, z_sort_key(z), x, y),
         num_keys=2,
         is_stable=False,
     )
     z_s = z_sort_key_inverse(zi_s)
-    xyz_s = jnp.stack([x_s, y_s, z_s], axis=1)
     # start[s] = #{i : pid_s[i] < s} for the sorted ids — derived from the
     # per-patch histogram (one fused one-hot MXU dot) instead of
     # jnp.searchsorted, whose binary-search while loop lowers to sequential
@@ -76,7 +87,7 @@ def sort_by_patch(xyz: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) ->
     start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
     )
-    return SortedPoints(xyz=xyz_s, z=z_s, patch_id=pid_s, start=start)
+    return SortedPoints(x=x_s, y=y_s, z=z_s, patch_id=pid_s, start=start)
 
 
 def patch_counts(sp: SortedPoints) -> jnp.ndarray:

@@ -58,7 +58,10 @@ from patchworkpp_tpu.ops.segments import (
     segment_rank,
     sort_by_patch,
 )
-from patchworkpp_tpu.ops.moments import moment_features, moments_to_mean_cov
+from patchworkpp_tpu.ops.moments import (
+    masked_moment_features_cols,
+    moments_to_mean_cov,
+)
 from patchworkpp_tpu.ops.eigen3 import eigh3x3_descending
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
@@ -172,7 +175,7 @@ class FrameComm:
 def _fit_planes(
     carry: _PlaneCarry,
     sp: SortedPoints,
-    q: jnp.ndarray,
+    q: tuple,  # (qx, qy, qz) full-lane (P,) shifted-coordinate columns
     mask_f: jnp.ndarray,
     patch_gate: jnp.ndarray,
     shift: jnp.ndarray,
@@ -185,7 +188,12 @@ def _fit_planes(
     patches may update. Patches whose masked count is zero keep their
     previous plane. Returns (new_carry, raw_count).
     """
-    mom = comm.reduce_patches(patch_reduce(moment_features(q) * mask_f[:, None], sp.patch_id))
+    qx, qy, qz = q
+    mom = comm.reduce_patches(
+        patch_reduce(
+            masked_moment_features_cols(qx, qy, qz, mask_f), sp.patch_id
+        )
+    )
     n, mean, cov = moments_to_mean_cov(mom, shift)
     svals, normal = eigh3x3_descending(cov)
     d = -jnp.sum(normal * mean, axis=-1)
@@ -547,18 +555,20 @@ def make_frame_fn(
         with jax.named_scope("stage_rnr_czm"):
             bins = bin_points(points, npts, state.sensor_height, p, geom)
         pid_o = bins.patch_id
-        xyz_o = points[:, :3]
 
         # ---- global (patch, z) sort (C5) ----
         with jax.named_scope("stage_sort"):
-            sp = sort_by_patch(xyz_o, pid_o, SPAD)
+            sp = sort_by_patch(
+                points[:, 0], points[:, 1], points[:, 2], pid_o, SPAD
+            )
         counts = comm.reduce_patches(patch_counts(sp))
         processed = (counts >= p.num_min_pts) & (sid < npz)
         proc_f = jnp.where(processed, 1.0, 0.0)
 
         pid_s = sp.patch_id
         zone0_pt = pid_s < tables.num_zone0  # zone-0 patches are flat ids [0, 32)
-        q = sp.xyz - patch_lookup(shift_tab, pid_s)
+        shl = patch_lookup_cols(shift_tab, pid_s)  # (3, P)
+        q = (sp.x - shl[0], sp.y - shl[1], sp.z - shl[2])
         active = patch_lookup(proc_f[:, None], pid_s)[:, 0] > 0.5
 
         carry = _PlaneCarry(
@@ -597,11 +607,13 @@ def make_frame_fn(
                         [carry.normal, carry.d[:, None], vert_f[:, None]], axis=1
                     )
                     vpf_tables.append(plane_tab)
-                    look = patch_lookup(plane_tab, pid_s)
-                    dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
+                    look = patch_lookup_cols(plane_tab, pid_s)  # (5, P)
+                    dist = (
+                        (sp.x * look[0] + sp.y * look[1]) + sp.z * look[2]
+                    ) + look[3]
                     peel = (
                         active
-                        & (look[:, 4] > 0.5)
+                        & (look[4] > 0.5)
                         & (jnp.abs(dist) < jnp.float32(p.th_dist_v))
                     )
                     active = active & ~peel
@@ -621,8 +633,10 @@ def make_frame_fn(
                 plane_tab = jnp.concatenate([carry.normal, carry.d[:, None]], axis=1)
                 if i == p.num_iter - 1:
                     final_plane_tab = plane_tab
-                look = patch_lookup(plane_tab, pid_s)
-                dist = jnp.sum(sp.xyz * look[:, :3], axis=1) + look[:, 3]
+                look = patch_lookup_cols(plane_tab, pid_s)  # (4, P)
+                dist = (
+                    (sp.x * look[0] + sp.y * look[1]) + sp.z * look[2]
+                ) + look[3]
                 g_f = jnp.where(
                     active & (dist < jnp.float32(p.th_dist)), 1.0, 0.0
                 )  # signed test (:525)

@@ -144,7 +144,10 @@ def test_sort_and_rank(rng):
     n = 2048
     pid = rng.integers(0, 40, n).astype(np.int32)
     xyz = rng.normal(size=(n, 3)).astype(np.float32)
-    sp = jax.jit(lambda x, p: sort_by_patch(x, p))(jnp.asarray(xyz), jnp.asarray(pid))
+    sp = jax.jit(sort_by_patch)(
+        jnp.asarray(xyz[:, 0]), jnp.asarray(xyz[:, 1]), jnp.asarray(xyz[:, 2]),
+        jnp.asarray(pid),
+    )
     pid_s = np.asarray(sp.patch_id)
     z_s = np.asarray(sp.z)
     assert (np.diff(pid_s) >= 0).all()
