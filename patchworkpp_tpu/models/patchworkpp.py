@@ -202,13 +202,17 @@ class PatchworkPP:
         if self._device is not None:
             x = jax.device_put(x, self._device)
         t0 = time.perf_counter()
-        new_state, masks = fn(self.state, x, jnp.asarray(npts))
-        masks.block_until_ready()
+        new_state, res = fn(self.state, x, jnp.asarray(npts))
+        res.ground_mask.block_until_ready()
         dt = time.perf_counter() - t0
         self.state = new_state
+        self.last_result = jax.tree.map(lambda a: a[-1], res)
 
         out = []
-        masks = np.asarray(masks)
+        masks = np.asarray(res.ground_mask)
+        means = np.asarray(res.patch_mean)
+        normals = np.asarray(res.patch_normal)
+        procs = np.asarray(res.patch_processed)
         for i, c in enumerate(clouds):
             mask = masks[i, : c.shape[0]]
             gi = np.flatnonzero(mask).astype(np.int32)
@@ -218,8 +222,8 @@ class PatchworkPP:
                     ground_mask=mask,
                     ground_indices=gi,
                     nonground_indices=ngi,
-                    centers=np.zeros((0, 3), np.float32),
-                    normals=np.zeros((0, 3), np.float32),
+                    centers=means[i][procs[i]],
+                    normals=normals[i][procs[i]],
                     time_taken_s=dt if i == 0 else 0.0,
                 )
             )

@@ -46,8 +46,11 @@ def masked_moment_features_cols(
     Bitwise-equal to ``moment_features(q) * mask_f[:, None]`` but built from
     full-lane (P,) columns with the mask FOLDED into the coordinates: for
     m in {0, 1}, (m*x)*(m*y) == (x*y)*m exactly (m=1: identical product;
-    m=0: both are a zero of the same sign, sign(x)*sign(y)), and the first
-    column is m itself. This removes the (P, 10) minor-dim elementwise
+    m=0: both are a zero of the same sign, sign(x)*sign(y)). The m=0 case
+    assumes the monomials x*y / x*x are FINITE (inf * 0 would make the old
+    form NaN and this form 0) — guaranteed upstream by _sanitize_nonfinite's
+    |coord| < 1e9 gate (pipeline.py), whose squares stay < f32 max. The
+    first column is m itself. This removes the (P, 10) minor-dim elementwise
     multiply (10/128 lane utilization) and keeps every monomial a full-lane
     op; only the final stack (the MXU dot operand) is (P, 10)-shaped.
     """

@@ -75,27 +75,11 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (P, C) float32.
     """
-    # The chop-split is done with INTEGER bit ops, not float converts: XLA
-    # elides convert(convert(x, bf16), f32) round-trips as a no-op
-    # (verified on TPU — the residual parts silently became zero and the
-    # lookup returned bf16(x)), and its bf16-propagation pass demotes f32
-    # arithmetic sandwiched between bf16 converts. A bf16 value is exactly
-    # the top 16 bits of the f32 pattern, so truncation masks/shifts give
-    # the same exact 8+8+8-significand-bit split with nothing to elide.
-    def _chop(x):
-        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-        part = jax.lax.bitcast_convert_type(
-            (bits >> 16).astype(jnp.int16), jnp.bfloat16
-        )
-        kept = jax.lax.bitcast_convert_type(
-            bits & jnp.int32(-65536), jnp.float32
-        )
-        return part, x - kept
-
-    hi, r1 = _chop(table)
-    mid, r2 = _chop(r1)
-    lo, _ = _chop(r2)  # r2 fits 8 significand bits: truncation is exact
-    packed = jnp.concatenate([hi, mid, lo], axis=1)  # (S, 3C) bf16
+    # The split is _chop_table — the ONE chop implementation shared with
+    # patch_lookup_cols, whose documented contract is bitwise equality with
+    # this function's output (a drifted duplicate would break the invariant
+    # with no compile error).
+    packed = _chop_table(table)  # (S, 3C) bf16
     s = table.shape[0]
     c = table.shape[1]
 
@@ -149,8 +133,16 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
 def _chop_table(table: jnp.ndarray):
     """f32 table -> (S, 3C) bf16 [hi | mid | lo] exact chop split.
 
-    Integer mask/shift split (not float converts) — see patch_lookup for why
-    XLA's convert-elision makes float round-trip splits silently lossy.
+    The chop-split is done with INTEGER bit ops, not float converts: XLA
+    elides convert(convert(x, bf16), f32) round-trips as a no-op (verified
+    on TPU — the residual parts silently became zero and the lookup
+    returned bf16(x)), and its bf16-propagation pass demotes f32 arithmetic
+    sandwiched between bf16 converts. A bf16 value is exactly the top 16
+    bits of the f32 pattern, so truncation masks/shifts give the same exact
+    8+8+8-significand-bit split with nothing to elide (the r2 residual fits
+    8 significand bits, so the last truncation is exact). Shared by
+    patch_lookup and patch_lookup_cols — both paths MUST use the same split
+    (their documented contract is bitwise-equal outputs).
     """
     def _chop(x):
         bits = jax.lax.bitcast_convert_type(x, jnp.int32)

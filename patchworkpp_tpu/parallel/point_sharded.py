@@ -144,11 +144,12 @@ def build(params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = 
 def build_sequence(params: Params, mesh: Mesh, axis: str = "point"):
     """Jitted point-sharded SEQUENCE: lax.scan of the sharded frame step.
 
-    ``fn(state, stack, npts) -> (state, ground_masks)`` with ``stack``
+    ``fn(state, stack, npts) -> (state, FrameResult)`` with ``stack``
     (B, P, 4) row-sharded over ``axis`` within each frame, the replicated
-    adaptive state as the scan carry, and (B, P) bool masks out — the
-    multi-chip analog of pipeline.make_sequence_fn (bitwise-equal to calling
-    the point-sharded frame B times in order; one dispatch per chain).
+    adaptive state as the scan carry, and the full per-frame FrameResult out
+    (B-leading on every field; masks stay row-sharded) — the multi-chip
+    analog of pipeline.make_sequence_fn (bitwise-equal to calling the
+    point-sharded frame B times in order; one dispatch per chain).
     """
     geom = CZMGeometry.create(params)
     if _single_device(mesh):
@@ -184,7 +185,7 @@ def build_sequence(params: Params, mesh: Mesh, axis: str = "point"):
         def step(st, xn):
             x, n = xn
             st2, res = shard_frame(st, x, n)
-            return st2, res.ground_mask
+            return st2, res
 
         return jax.lax.scan(step, state, (stack, npts))
 

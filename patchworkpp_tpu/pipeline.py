@@ -767,7 +767,7 @@ def make_sequence_fn(
     fused: bool | None = None,
     interpret: bool = False,
 ):
-    """Build ``fn(state, stack, npts) -> (state, ground_masks)``: a
+    """Build ``fn(state, stack, npts) -> (state, FrameResult)``: a
     lax.scan of the frame step over a (B, P, 4) stack of scans.
 
     Semantically identical to calling the frame fn B times in order (the
@@ -779,7 +779,12 @@ def make_sequence_fn(
     sequential streams — the reference's demo_sequential loop
     (python/examples/demo_sequential.py:30) with the dispatch hoisted out.
 
-    Returns the final state and the (B, P) bool ground masks.
+    Returns the final state and the full per-frame :class:`FrameResult`
+    with a leading B axis on every field — masks (B, P) plus the per-patch
+    centers/normals/eigenvalues the reference exposes through
+    getCenters()/getNormals() (patchworkpp.h:154-163). The patch tables add
+    ~20 KB/frame of stacked output (negligible next to the (B, P) masks),
+    and a batched dispatch loses nothing vs the per-frame loop.
     """
     frame = make_frame_fn(
         params, geom=geom, comm=comm, fused=fused, interpret=interpret
@@ -789,7 +794,7 @@ def make_sequence_fn(
         def step(st, xn):
             x, n = xn
             st2, res = frame(st, x, n)
-            return st2, res.ground_mask
+            return st2, res
 
         return jax.lax.scan(step, state, (stack, npts))
 

@@ -66,20 +66,28 @@ def test_patch_lookup_exact(rng):
 
 def test_patch_lookup_factored_edges(rng):
     """The factored (64 x S/64) one-hot path: out-of-range and negative ids
-    produce all-zero rows (as the flat one-hot did), extreme-exponent and
-    signed-zero table values survive the bf16x3 chop bitwise, and a width
-    that is not a multiple of 64 still takes the flat branch."""
+    produce all-zero rows (as the flat one-hot did), extreme-exponent table
+    values survive the bf16x3 chop bitwise (checked on the int32 bit
+    patterns), and a width that is not a multiple of 64 still takes the
+    flat branch. SIGNED ZERO is exempt by contract: the one-hot contraction
+    may resolve a -0.0 entry to +0.0 (the 511 masked addends each
+    contribute +0.0 and (-0.0) + (+0.0) == +0.0); every consumer reads
+    looked-up values through comparisons, where -0.0 == +0.0 anyway."""
     pid = rng.integers(-8, SPAD + 16, 4096).astype(np.int32)
     table = (
         rng.normal(size=(SPAD, 5)) * np.exp(rng.uniform(-60, 60, (SPAD, 5)))
     ).astype(np.float32)
     table[3, 0] = 1e30  # the degenerate-plane sentinel
-    table[7, 2] = -0.0
+    table[7, 2] = -0.0  # exempt: value-equal only (see docstring)
     out = np.asarray(jax.jit(patch_lookup)(jnp.asarray(table), jnp.asarray(pid)))
     ref = np.zeros((4096, 5), np.float32)
     inr = (pid >= 0) & (pid < SPAD)
     ref[inr] = table[pid[inr]]
     np.testing.assert_array_equal(out, ref)
+    nz = ref != 0.0  # bitwise on every non-zero payload (incl. denormals)
+    np.testing.assert_array_equal(
+        out[nz].view(np.int32), ref[nz].view(np.int32)
+    )
     assert (out[~inr] == 0.0).all()
 
     # Flat branch (width 96 is not a 64 multiple > 64): same contract.
@@ -101,8 +109,8 @@ def test_patch_lookup_cols_bitwise(rng):
     """The transposed-output lookup equals patch_lookup(...).T bitwise at
     both widths (S=512 and S=96), including out-of-range / negative ids
     (all-zero columns). Exercises the same hostile table values as the
-    (P, C)-oriented test (extreme exponents, the 1e30 sentinel, signed
-    zero)."""
+    (P, C)-oriented test (extreme exponents, the 1e30 sentinel; signed zero
+    is exempt there and here — see test_patch_lookup_factored_edges)."""
     from patchworkpp_tpu.ops.onehot import patch_lookup_cols
 
     pid = rng.integers(-8, SPAD + 16, 4096).astype(np.int32)
@@ -110,13 +118,17 @@ def test_patch_lookup_cols_bitwise(rng):
         rng.normal(size=(SPAD, 17)) * np.exp(rng.uniform(-60, 60, (SPAD, 17)))
     ).astype(np.float32)
     table[3, 0] = 1e30
-    table[7, 2] = -0.0
+    table[7, 2] = -0.0  # exempt: value-equal only
     out = np.asarray(
         jax.jit(patch_lookup_cols)(jnp.asarray(table), jnp.asarray(pid))
     )
     assert out.shape == (17, 4096)
     ref = np.asarray(jax.jit(patch_lookup)(jnp.asarray(table), jnp.asarray(pid)))
     np.testing.assert_array_equal(out, ref.T)
+    nz = ref.T != 0.0  # bitwise on non-zero payloads (assert_array_equal
+    np.testing.assert_array_equal(  # would let -0.0 == +0.0 slip through)
+        out[nz].view(np.int32), ref.T[nz].view(np.int32)
+    )
     inr = (pid >= 0) & (pid < SPAD)
     np.testing.assert_array_equal(out.T[inr], table[pid[inr]])
     assert (out.T[~inr] == 0.0).all()

@@ -252,15 +252,20 @@ def test_sequence_fn_matches_frame_loop(scans):
         npts[i] = len(cloud)
 
     seq = jax.jit(make_sequence_fn(p))
-    st_seq, masks = seq(init_state(p), jnp.asarray(stack), jnp.asarray(npts))
+    st_seq, seq_res = seq(init_state(p), jnp.asarray(stack), jnp.asarray(npts))
 
     frame = jax.jit(make_frame_fn(p))
     st = init_state(p)
     for i in range(len(names)):
         st, res = frame(st, jnp.asarray(stack[i]), jnp.int32(npts[i]))
-        np.testing.assert_array_equal(
-            np.asarray(masks[i]), np.asarray(res.ground_mask), err_msg=names[i]
-        )
+        # Full per-frame FrameResult parity, not just masks: the sequence
+        # path must not drop centers/normals (compat getCenters/getNormals
+        # go through these — reference patchworkpp.h:154-163).
+        for field, a in zip(res._fields, res):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seq_res, field)[i]), np.asarray(a),
+                err_msg=f"{names[i]}: {field}",
+            )
     for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -275,6 +280,10 @@ def test_model_sequence_api_matches_loop(scans):
     for cloud, rs in zip(clouds, results):
         rl = m_loop.estimate_ground(cloud)
         np.testing.assert_array_equal(rs.ground_mask, rl.ground_mask)
+        # Batched dispatch must not degrade the result: centers/normals
+        # identical to the live path (reference getters patchworkpp.h:154-163).
+        np.testing.assert_array_equal(rs.centers, rl.centers)
+        np.testing.assert_array_equal(rs.normals, rl.normals)
     assert m_seq.sensor_height == m_loop.sensor_height
 
 

@@ -167,15 +167,16 @@ def test_point_sharded_sequence_matches_frame_loop(mesh8, scans):
     npts = np.array([len(c) for c in clouds], np.int32)
 
     seq = make_point_sharded_sequence_fn(p, mesh8, axis="d")
-    st_seq, masks = seq(init_state(p), jnp.asarray(stack), jnp.asarray(npts))
+    st_seq, seq_res = seq(init_state(p), jnp.asarray(stack), jnp.asarray(npts))
 
     frame = make_point_sharded_frame_fn(p, mesh8, axis="d")
     st = init_state(p)
     for i, c in enumerate(clouds):
         st, res = frame(st, jnp.asarray(stack[i]), jnp.int32(npts[i]))
-        np.testing.assert_array_equal(
-            np.asarray(masks[i]), np.asarray(res.ground_mask),
-            err_msg=names[i],
-        )
+        for field, a in zip(res._fields, res):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seq_res, field)[i]), np.asarray(a),
+                err_msg=f"{names[i]}: {field}",
+            )
     for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
