@@ -10,8 +10,12 @@
 //
 // C ABI (consumed from Python via ctypes — no pybind11 dependency):
 //   ppk_loader_create(paths, n, capacity, depth, threads, loop) -> handle
-//   ppk_loader_acquire(handle, &buf, &npts, &scan_index) -> 0 ok, 1 end, <0 err
-//   ppk_loader_release(handle, buf)    // return the slot to the ring
+//   ppk_loader_acquire(handle, &buf, &npts, &scan_index, &truncated)
+//       -> 0 ok, 1 end, <0 err
+//   ppk_loader_release(handle, buf) -> 0 ok, -1 foreign pointer (slot NOT
+//       returned; a caller bug — surfaced instead of deadlocking the ring)
+//   ppk_loader_io_errors(handle)     // unreadable files so far
+//   ppk_loader_truncations(handle)   // scans longer than capacity so far
 //   ppk_loader_destroy(handle)
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC -pthread)
@@ -33,6 +37,7 @@ struct Slot {
   std::vector<float> data;  // capacity * 4 floats, zero-padded
   int npts = 0;
   int scan_index = -1;
+  bool truncated = false;  // scan was longer than capacity
 };
 
 struct Loader {
@@ -53,6 +58,7 @@ struct Loader {
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
   std::atomic<int> io_errors{0};
+  std::atomic<int> truncations{0};
 
   ~Loader() {
     stop.store(true);
@@ -64,12 +70,23 @@ struct Loader {
 };
 
 // Read one .bin into a slot (zero-padding beyond npts). Returns false on IO
-// error or if the scan exceeds capacity (truncated, npts = capacity).
-bool read_scan(const std::string& path, int capacity, Slot* slot) {
+// error (unreadable file). A scan LONGER than capacity is truncated to
+// capacity points and reported through *truncated — the caller surfaces the
+// data loss (counter + per-scan flag) instead of passing it off as a
+// capacity-sized scan.
+bool read_scan(const std::string& path, int capacity, Slot* slot,
+               bool* truncated) {
+  *truncated = false;
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) return false;
   size_t max_floats = static_cast<size_t>(capacity) * 4;
   size_t got = std::fread(slot->data.data(), sizeof(float), max_floats, f);
+  if (got == max_floats) {
+    // Capacity filled exactly: probe one byte to distinguish a scan that
+    // fits exactly from one that was cut short.
+    char probe;
+    *truncated = std::fread(&probe, 1, 1, f) == 1;
+  }
   std::fclose(f);
   size_t n = got / 4;
   slot->npts = static_cast<int>(n);
@@ -98,10 +115,13 @@ void worker_main(Loader* L) {
     }
 
     slot->scan_index = idx;
-    if (!read_scan(L->paths[scan_idx], L->capacity, slot)) {
+    bool truncated = false;
+    if (!read_scan(L->paths[scan_idx], L->capacity, slot, &truncated)) {
       L->io_errors.fetch_add(1);
       slot->npts = 0;
     }
+    slot->truncated = truncated;
+    if (truncated) L->truncations.fetch_add(1);
 
     {
       std::unique_lock<std::mutex> lk(L->mu);
@@ -147,8 +167,11 @@ void* ppk_loader_create(const char** paths, int n_paths, int capacity,
 }
 
 // Blocks until the next scan (in order) is staged. Returns 0 and sets
-// (*buf, *npts, *scan_index) on success; 1 when the dataset is exhausted.
-int ppk_loader_acquire(void* handle, float** buf, int* npts, int* scan_index) {
+// (*buf, *npts, *scan_index, *truncated) on success; 1 when the dataset is
+// exhausted. *truncated (may be NULL) is 1 iff this scan was longer than
+// capacity and lost its tail.
+int ppk_loader_acquire(void* handle, float** buf, int* npts, int* scan_index,
+                       int* truncated) {
   auto* L = static_cast<Loader*>(handle);
   const int total = static_cast<int>(L->paths.size());
   std::unique_lock<std::mutex> lk(L->mu);
@@ -163,24 +186,37 @@ int ppk_loader_acquire(void* handle, float** buf, int* npts, int* scan_index) {
   *buf = s->data.data();
   *npts = s->npts;
   *scan_index = s->scan_index;
+  if (truncated) *truncated = s->truncated ? 1 : 0;
   return 0;
 }
 
 // Return a slot (identified by its buffer pointer) to the free ring.
-void ppk_loader_release(void* handle, float* buf) {
+// Returns 0 on success, -1 for a pointer that is not one of this loader's
+// slot buffers — a caller bug that must fail loudly (silently ignoring it
+// turned a leak in the caller into an eventual acquire() deadlock once the
+// free ring drained).
+int ppk_loader_release(void* handle, float* buf) {
   auto* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
   for (auto& s : L->slots) {
     if (s.data.data() == buf) {
       L->free_slots.push_back(&s);
       L->cv_free.notify_one();
-      return;
+      return 0;
     }
   }
+  std::fprintf(stderr,
+               "ppk_loader_release: foreign buffer %p (not a loader slot)\n",
+               static_cast<void*>(buf));
+  return -1;
 }
 
 int ppk_loader_io_errors(void* handle) {
   return static_cast<Loader*>(handle)->io_errors.load();
+}
+
+int ppk_loader_truncations(void* handle) {
+  return static_cast<Loader*>(handle)->truncations.load();
 }
 
 void ppk_loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

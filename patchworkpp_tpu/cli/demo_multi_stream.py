@@ -19,7 +19,10 @@ from patchworkpp_tpu.serve import MultiStreamSegmenter
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("data_dir", nargs="?", default="/root/reference/data")
+    ap.add_argument(
+        "data_dir", nargs="?",
+        default=os.environ.get("PPK_DATA_DIR", "/root/reference/data"),
+    )
     ap.add_argument("--streams", type=int, default=2)
     args = ap.parse_args()
 

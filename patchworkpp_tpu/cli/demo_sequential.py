@@ -20,7 +20,10 @@ from patchworkpp_tpu.io import read_bin
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("data_dir", nargs="?", default="/root/reference/data")
+    ap.add_argument(
+        "data_dir", nargs="?",
+        default=os.environ.get("PPK_DATA_DIR", "/root/reference/data"),
+    )
     ap.add_argument("--visualize", action="store_true")
     args = ap.parse_args()
 

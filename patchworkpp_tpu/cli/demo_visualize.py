@@ -4,6 +4,7 @@ Segments one scan and either opens an Open3D window (if installed) or prints
 a summary. Usage: ppk-demo-visualize [scan.bin]
 """
 
+import os
 import sys
 
 
@@ -12,7 +13,9 @@ from patchworkpp_tpu.io import read_bin
 
 
 def main() -> None:
-    scan = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/data/000000.bin"
+    scan = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.environ.get("PPK_DATA_DIR", "/root/reference/data"), "000000.bin"
+    )
     cloud = read_bin(scan)
 
     params = pypatchworkpp.Parameters()

@@ -60,10 +60,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
     ]
+    lib.ppk_loader_release.restype = ctypes.c_int
     lib.ppk_loader_release.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.ppk_loader_io_errors.restype = ctypes.c_int
     lib.ppk_loader_io_errors.argtypes = [ctypes.c_void_p]
+    lib.ppk_loader_truncations.restype = ctypes.c_int
+    lib.ppk_loader_truncations.argtypes = [ctypes.c_void_p]
     lib.ppk_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -117,6 +121,7 @@ class NativeScanLoader:
         if not self._handle:
             raise RuntimeError("failed to create native loader")
         self._held: Optional[ctypes.POINTER(ctypes.c_float)] = None
+        self.last_truncated = False
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, int, int]]:
         return self
@@ -126,23 +131,41 @@ class NativeScanLoader:
         buf = ctypes.POINTER(ctypes.c_float)()
         npts = ctypes.c_int()
         idx = ctypes.c_int()
+        trunc = ctypes.c_int()
         rc = self._lib.ppk_loader_acquire(
-            self._handle, ctypes.byref(buf), ctypes.byref(npts), ctypes.byref(idx)
+            self._handle, ctypes.byref(buf), ctypes.byref(npts),
+            ctypes.byref(idx), ctypes.byref(trunc),
         )
         if rc != 0:
             raise StopIteration
         self._held = buf
+        self.last_truncated = bool(trunc.value)
         view = np.ctypeslib.as_array(buf, shape=(self.capacity, 4))
         return view, int(npts.value), int(idx.value)
 
     def _release_held(self) -> None:
         if self._held is not None:
-            self._lib.ppk_loader_release(self._handle, self._held)
+            rc = self._lib.ppk_loader_release(self._handle, self._held)
             self._held = None
+            if rc != 0:
+                raise RuntimeError(
+                    "ppk_loader_release rejected the held buffer (foreign "
+                    "pointer) — loader/slot bookkeeping bug"
+                )
 
     @property
     def io_errors(self) -> int:
+        """Unreadable files seen so far (their scans yield npts == 0)."""
         return int(self._lib.ppk_loader_io_errors(self._handle))
+
+    @property
+    def truncations(self) -> int:
+        """Scans longer than `capacity` seen so far. Such a scan is staged
+        with npts == capacity and its tail DROPPED; `last_truncated` flags
+        whether the most recently acquired scan was one. A pipeline that
+        must never lose points should size `capacity` to its sensor and
+        assert this stays 0."""
+        return int(self._lib.ppk_loader_truncations(self._handle))
 
     def close(self) -> None:
         if self._handle:

@@ -18,6 +18,12 @@ from patchworkpp_tpu.serve.server import CloudMsg, GroundSegmentationServer
 try:  # pragma: no cover - exercised only with a ROS 2 install
     import rclpy
     from rclpy.node import Node
+    from rclpy.qos import (
+        DurabilityPolicy,
+        QoSProfile,
+        ReliabilityPolicy,
+        qos_profile_sensor_data,
+    )
     from sensor_msgs.msg import PointCloud2
     from sensor_msgs_py import point_cloud2
 
@@ -28,13 +34,26 @@ except Exception:  # pragma: no cover
 
 if HAVE_ROS2:  # pragma: no cover
 
+    def _publisher_qos() -> "QoSProfile":
+        """Reliable + transient-local publisher QoS, mirroring the reference
+        ("we use the following QoS setting for reliable ground
+        segmentation", ros/src/GroundSegmentationServer.cpp:58-65): late
+        subscribers still receive the last published clouds."""
+        return QoSProfile(
+            depth=10,  # rmw_qos_profile_default's keep-last depth
+            reliability=ReliabilityPolicy.RELIABLE,
+            durability=DurabilityPolicy.TRANSIENT_LOCAL,
+        )
+
     class PatchworkppNode(Node):
-        """rclpy node mirroring the reference server's topics and params."""
+        """rclpy node mirroring the reference server's topics, QoS and params
+        (reference: ros/src/GroundSegmentationServer.cpp:26-71)."""
 
         def __init__(self) -> None:
             super().__init__("patchworkpp_node")
             params = Params(
                 enable_RNR=False,  # PointCloud2 intensity not wired (as reference)
+                verbose=self.declare_parameter("verbose", False).value,
                 sensor_height=self.declare_parameter("sensor_height", 1.723).value,
                 num_iter=self.declare_parameter("num_iter", 3).value,
                 num_lpr=self.declare_parameter("num_lpr", 20).value,
@@ -52,13 +71,22 @@ if HAVE_ROS2:  # pragma: no cover
             self.server.on_result(self._publish)
             self.server.start()
 
+            # Best-effort sensor-data QoS on the subscription (the
+            # reference's rclcpp::SensorDataQoS(), cpp:53-55); reliable +
+            # transient-local on the three publishers (cpp:58-69).
             self.sub = self.create_subscription(
-                PointCloud2, "pointcloud_topic", self._on_cloud, 10
+                PointCloud2, "pointcloud_topic", self._on_cloud,
+                qos_profile_sensor_data,
             )
-            self.pub_cloud = self.create_publisher(PointCloud2, "/patchworkpp/cloud", 10)
-            self.pub_ground = self.create_publisher(PointCloud2, "/patchworkpp/ground", 10)
+            qos = _publisher_qos()
+            self.pub_cloud = self.create_publisher(
+                PointCloud2, "/patchworkpp/cloud", qos
+            )
+            self.pub_ground = self.create_publisher(
+                PointCloud2, "/patchworkpp/ground", qos
+            )
             self.pub_nonground = self.create_publisher(
-                PointCloud2, "/patchworkpp/nonground", 10
+                PointCloud2, "/patchworkpp/nonground", qos
             )
 
         def _on_cloud(self, msg: PointCloud2) -> None:

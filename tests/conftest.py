@@ -23,7 +23,11 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-REFERENCE_DATA = "/root/reference/data"
+# The 6 KITTI fixture scans vendored by the reference repo (data/*.bin).
+# Overridable so hosted CI can point at a checkout of the upstream repo
+# (.github/workflows/ci.yml fetches them there); golden-parity tests skip
+# cleanly when the fixtures are absent instead of erroring.
+REFERENCE_DATA = os.environ.get("PPK_DATA_DIR", "/root/reference/data")
 GOLDEN_NPZ = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           "golden", "reference_ground_indices.npz")
 SCAN_NAMES = [f"{i:06d}" for i in range(6)]
@@ -42,4 +46,12 @@ def golden():
 
 @pytest.fixture(scope="session")
 def scans():
+    if not all(
+        os.path.exists(os.path.join(REFERENCE_DATA, f"{n}.bin"))
+        for n in SCAN_NAMES
+    ):
+        pytest.skip(
+            f"KITTI fixture scans not found under {REFERENCE_DATA} "
+            "(set PPK_DATA_DIR to the reference repo's data/ directory)"
+        )
     return {name: load_scan(name) for name in SCAN_NAMES}

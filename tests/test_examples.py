@@ -7,6 +7,15 @@ console scripts); the files under ``examples/`` are thin shims over them.
 import os
 import sys
 
+import pytest
+
+from conftest import REFERENCE_DATA as DATA
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "000000.bin")),
+    reason="KITTI fixture scans absent (PPK_DATA_DIR)",
+)
+
 
 def test_demo_visualize_runs(capsys, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["ppk-demo-visualize"])
@@ -20,7 +29,7 @@ def test_demo_visualize_runs(capsys, monkeypatch):
 def test_demo_sequential_runs(capsys, monkeypatch, tmp_path):
     # Symlink two scans into a temp dir to keep runtime short.
     for name in ["000000.bin", "000001.bin"]:
-        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+        os.symlink(os.path.join(DATA, name), tmp_path / name)
     monkeypatch.setattr(sys, "argv", ["ppk-demo-sequential", str(tmp_path)])
     from patchworkpp_tpu.cli import demo_sequential
 
@@ -33,7 +42,7 @@ def test_demo_sequential_runs(capsys, monkeypatch, tmp_path):
 def test_demo_multi_stream_runs(capsys, monkeypatch, tmp_path):
     # Two scans x two streams; each stream keeps its own adaptive state.
     for name in ["000000.bin", "000001.bin"]:
-        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+        os.symlink(os.path.join(DATA, name), tmp_path / name)
     monkeypatch.setattr(
         sys, "argv", ["ppk-demo-multi-stream", str(tmp_path), "--streams", "2"]
     )
@@ -52,7 +61,7 @@ def test_demo_multi_stream_runs(capsys, monkeypatch, tmp_path):
 
 def test_eval_harness_timing_only(capsys, monkeypatch, tmp_path):
     for name in ["000000.bin"]:
-        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+        os.symlink(os.path.join(DATA, name), tmp_path / name)
     monkeypatch.setattr(
         sys,
         "argv",
@@ -72,7 +81,7 @@ def test_eval_harness_golden_mode(capsys, monkeypatch, tmp_path):
     import json
 
     for name in ["000000.bin"]:
-        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+        os.symlink(os.path.join(DATA, name), tmp_path / name)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     monkeypatch.setattr(
         sys,
@@ -92,7 +101,7 @@ def test_eval_harness_golden_mode(capsys, monkeypatch, tmp_path):
 
 def test_eval_harness_batched_dispatch(capsys, monkeypatch, tmp_path):
     for name in ["000000.bin", "000001.bin"]:
-        os.symlink(f"/root/reference/data/{name}", tmp_path / name)
+        os.symlink(os.path.join(DATA, name), tmp_path / name)
     monkeypatch.setattr(
         sys,
         "argv",

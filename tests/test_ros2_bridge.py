@@ -47,18 +47,48 @@ class _FakeNodeBase:
         self._name = name
         self.subscriptions = []
         self.publishers = []
+        self.declared_params = {}
+        self.sub_qos = {}
+        self.pub_qos = {}
 
     def declare_parameter(self, name, default):
+        self.declared_params[name] = default
         return _FakeParameter(default)
 
     def create_subscription(self, msg_type, topic, callback, qos):
         self.subscriptions.append((topic, callback))
+        self.sub_qos[topic] = qos
         return (topic, callback)
 
     def create_publisher(self, msg_type, topic, qos):
         pub = _FakePublisher(topic)
         self.publishers.append(pub)
+        self.pub_qos[topic] = qos
         return pub
+
+
+class _FakeQoSProfile:
+    """Mirror of rclpy.qos.QoSProfile's keyword surface used by the bridge."""
+
+    def __init__(self, depth=10, reliability=None, durability=None):
+        self.depth = depth
+        self.reliability = reliability
+        self.durability = durability
+
+
+class _Rel:
+    RELIABLE = "reliable"
+    BEST_EFFORT = "best_effort"
+
+
+class _Dur:
+    TRANSIENT_LOCAL = "transient_local"
+    VOLATILE = "volatile"
+
+
+_SENSOR_DATA_QOS = _FakeQoSProfile(
+    depth=5, reliability=_Rel.BEST_EFFORT, durability=_Dur.VOLATILE
+)
 
 
 class _Stamp:
@@ -81,6 +111,13 @@ def bridge(monkeypatch):
     fake_rclpy_node = types.ModuleType("rclpy.node")
     fake_rclpy_node.Node = _FakeNodeBase
     fake_rclpy.node = fake_rclpy_node
+
+    fake_rclpy_qos = types.ModuleType("rclpy.qos")
+    fake_rclpy_qos.QoSProfile = _FakeQoSProfile
+    fake_rclpy_qos.ReliabilityPolicy = _Rel
+    fake_rclpy_qos.DurabilityPolicy = _Dur
+    fake_rclpy_qos.qos_profile_sensor_data = _SENSOR_DATA_QOS
+    fake_rclpy.qos = fake_rclpy_qos
 
     fake_sensor_msgs = types.ModuleType("sensor_msgs")
     fake_sensor_msgs_msg = types.ModuleType("sensor_msgs.msg")
@@ -118,6 +155,7 @@ def bridge(monkeypatch):
     for name, mod in [
         ("rclpy", fake_rclpy),
         ("rclpy.node", fake_rclpy_node),
+        ("rclpy.qos", fake_rclpy_qos),
         ("sensor_msgs", fake_sensor_msgs),
         ("sensor_msgs.msg", fake_sensor_msgs_msg),
         ("sensor_msgs_py", fake_sensor_msgs_py),
@@ -180,6 +218,36 @@ def test_bridge_round_trip(bridge, scans):
         hdr = pubs["/patchworkpp/ground"].messages[0].header
         assert hdr.frame_id == "base_link"
         assert hdr.stamp.sec == 7
+    finally:
+        node.server.stop()
+
+
+def test_bridge_qos_and_params_match_reference(bridge):
+    """Field-for-field QoS/param parity with the reference node
+    (ros/src/GroundSegmentationServer.cpp:30-69): SensorDataQoS on the
+    subscription, reliable + transient-local (depth 10) on all three
+    publishers, and the `verbose` parameter declared (cpp:44)."""
+    node = bridge.PatchworkppNode()
+    try:
+        # subscription rides the sensor-data profile object itself
+        assert node.sub_qos["pointcloud_topic"] is _SENSOR_DATA_QOS
+
+        for topic in (
+            "/patchworkpp/cloud", "/patchworkpp/ground", "/patchworkpp/nonground"
+        ):
+            q = node.pub_qos[topic]
+            assert q.reliability == _Rel.RELIABLE, topic
+            assert q.durability == _Dur.TRANSIENT_LOCAL, topic
+            assert q.depth == 10, topic
+
+        # the reference's declared parameter set (cpp:28-44), incl. verbose
+        assert set(node.declared_params) == {
+            "verbose", "sensor_height", "num_iter", "num_lpr", "num_min_pts",
+            "th_seeds", "th_dist", "th_seeds_v", "th_dist_v", "max_range",
+            "min_range", "uprightness_thr", "base_frame",
+        }
+        assert node.declared_params["verbose"] is False
+        assert node.server.params.verbose is False
     finally:
         node.server.stop()
 

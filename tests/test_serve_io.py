@@ -1,5 +1,6 @@
 """Streaming server + IO/eval layer tests."""
 
+import os
 import threading
 import time
 
@@ -10,15 +11,24 @@ from patchworkpp_tpu.io import evaluate_masks, pad_cloud, read_bin, ScanDataset
 from patchworkpp_tpu.serve import CloudMsg, GroundSegmentationServer, ServerConfig
 
 SUB = 16
+from conftest import REFERENCE_DATA as DATA
 
 
+_need_scans = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "000000.bin")),
+    reason="KITTI fixture scans absent (PPK_DATA_DIR)",
+)
+
+
+@_need_scans
 def test_read_bin_shape():
-    pts = read_bin("/root/reference/data/000000.bin")
+    pts = read_bin(os.path.join(DATA, "000000.bin"))
     assert pts.shape == (124668, 4) and pts.dtype == np.float32
 
 
+@_need_scans
 def test_scan_dataset():
-    ds = ScanDataset("/root/reference/data")
+    ds = ScanDataset(DATA)
     assert len(ds) == 6
     assert ds.scan(0).shape[1] == 4
     assert ds.labels(0) is None
