@@ -32,15 +32,23 @@ indicator.
 import argparse
 import dataclasses
 import json
+import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
 BASELINE_SCANS_PER_S = 29.8
-DATA_DIR = "/root/reference/data"
+DATA_DIR = os.environ.get("PPK_DATA_DIR", "/root/reference/data")
 CAPACITY = 131072
-TIMED_EPOCHS = 100  # 600 frames ≈ 0.6 s measured: relay jitter amortized
+# 3000 frames timed, split into GROUPS independently-timed groups: the JSON
+# line reports the group MEDIAN with min/max, so a single relay-load spike
+# (or a lucky quiet window) can no longer masquerade as the engine's number
+# (round-2 VERDICT weak #1: a 16% builder-vs-driver spread went undetected
+# because the bench printed one undispersed number).
+TIMED_EPOCHS = 500
+GROUPS = 5
 
 
 def _nudge(st, eps):
@@ -72,14 +80,21 @@ def main() -> None:
     )
     ap.add_argument(
         "--epochs", type=int, default=TIMED_EPOCHS,
-        help="timed 6-frame epochs",
+        help="timed 6-frame epochs (split across --groups)",
+    )
+    ap.add_argument(
+        "--groups", type=int, default=GROUPS,
+        help="independently timed groups; the JSON line reports the group "
+             "MEDIAN scans/s plus min/max (dispersion makes relay-load "
+             "noise visible instead of folding it into one number)",
     )
     ap.add_argument(
         "--fused", default="auto",
-        choices=["auto", "grid", "grid_iota", "unfused"],
+        choices=["auto", "grid", "grid_iota", "unfused", "tiled"],
         help="engine path: auto (default; the grid kernel on TPU), an "
-             "explicit kernel prefix mode, or the unfused XLA path (what "
-             "the point-sharded multi-chip program runs per shard)",
+             "explicit kernel prefix mode, 'tiled' (the XLA tiled engine — "
+             "what the point-sharded multi-chip program runs per shard), or "
+             "the unfused sorted-layout XLA path",
     )
     ap.add_argument(
         "--streams", type=int, default=1, metavar="S",
@@ -183,13 +198,27 @@ def main() -> None:
     sh_warm = float(st.sensor_height)
     buf_warm = np.asarray(st.elev_buf[0])  # 4 KB D2H, outside the timed loop
 
+    # Timed groups: each group is a run of async epoch dispatches closed by
+    # ONE scalar fetch (the only reliable sync on this relay). The fetch's
+    # ~6 ms round trip is inside each group's wall — < 1.5% at the default
+    # ~600-frame group size, and it biases the number DOWN (conservative).
+    groups = max(1, args.groups)
+    per_group = max(1, epochs // groups)
+    group_rates = []
     frames = 0
-    t0 = time.perf_counter()
-    for i in range(epochs):
-        st, _ = ep(st, stack, npts, _eps(2 + i))
-        frames += frames_per_epoch
-    sh_final = float(st.sensor_height)  # single scalar D2H: the sync point
-    dt = time.perf_counter() - t0
+    ei = 0
+    t_all0 = time.perf_counter()
+    for g in range(groups):
+        t0 = time.perf_counter()
+        gframes = 0
+        for _ in range(per_group):
+            st, _ = ep(st, stack, npts, _eps(2 + ei))
+            ei += 1
+            gframes += frames_per_epoch
+        float(st.sensor_height)  # scalar D2H: the group's sync point
+        group_rates.append(gframes / (time.perf_counter() - t0))
+        frames += gframes
+    dt = time.perf_counter() - t_all0
     # Elision is excluded BY CONSTRUCTION (every dispatch has a distinct
     # nudged state input, so the relay result cache can never hit); the
     # ring-0 buffer comparison is a secondary indicator only. On long runs
@@ -202,7 +231,7 @@ def main() -> None:
             "periodic); dispatch inputs remained distinct via the nudge",
             file=sys.stderr,
         )
-    del sh_warm, sh_final  # the sync fetches above are their only job
+    del sh_warm  # the sync fetch above is its only job
 
     if args.profile:
         from patchworkpp_tpu.utils.roofline import (
@@ -211,7 +240,7 @@ def main() -> None:
 
         def run():
             # One epoch from the final timed state; the scalar fetch blocks.
-            s2, _ = ep(st, stack, npts, _eps(2 + epochs))
+            s2, _ = ep(st, stack, npts, _eps(2 + ei))
             float(s2.sensor_height)
 
         stages, ops = profile_frames(run)
@@ -227,13 +256,15 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    scans_per_s = frames / dt
+    scans_per_s = statistics.median(group_rates)
     dense = f"_x{args.densify}" if args.densify > 1 else ""
     path = f"_{args.fused}" if args.fused != "auto" else ""
     print(
         json.dumps(
             {
                 "metric": f"kitti6{dense}{path}_seq_scans_per_s_per_chip",
+                # MEDIAN over the independently timed groups — the
+                # driver-reproducible number README/ROOFLINE quote.
                 "value": round(scans_per_s, 2),
                 "unit": "scans/s",
                 # The 29.8 scans/s C++ baseline is the 1x workload; a
@@ -242,6 +273,12 @@ def main() -> None:
                     round(scans_per_s / BASELINE_SCANS_PER_S, 2)
                     if args.densify == 1 else None
                 ),
+                # Dispersion across groups: relay-load noise made visible.
+                "min": round(min(group_rates), 2),
+                "max": round(max(group_rates), 2),
+                "groups": len(group_rates),
+                "frames_total": frames,
+                "mean": round(frames / dt, 2),
                 # Measurement protocol: frames chained per device dispatch
                 # (round-1 captures used 6; runs are comparable only at the
                 # same value — the delta is tunnel-relay amortization, not
