@@ -136,92 +136,56 @@ def _lane_prefix_exclusive(m):
     return jnp.dot(m, lt, preferred_element_type=jnp.float32)
 
 
-def _smallest_eig(cxx, cxy, cxz, cyy, cyz, czz):
-    """Smallest eigenvalue of symmetric 3x3 batches, closed form (Cardano).
-
-    Column-form transliteration of ops/eigen3.py:eigh3x3_descending's ``e2``
-    (same operation order, so the kernel and the unfused XLA path agree to
-    the last ulp of the backend's transcendentals). A Newton-from-Gershgorin
-    iteration used here previously converged too slowly when the dominant
-    eigenvalue is ~700x the smallest pair (10 iterations left a residual
-    comparable to the e0/e1 gap, picking a structurally wrong eigenvector —
-    one mislabeled point on seq scan 000004).
-    """
-    off_sq = cxy * cxy + cxz * cxz + cyz * cyz
-    q = (cxx + cyy + czz) / 3.0
-    b00, b11, b22 = cxx - q, cyy - q, czz - q
-    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * off_sq
-    p = jnp.sqrt(p2 / 6.0)
-    safe_p = jnp.where(p > 1e-12, p, 1.0)
-    c00, c11, c22 = b00 / safe_p, b11 / safe_p, b22 / safe_p
-    c01, c02, c12 = cxy / safe_p, cxz / safe_p, cyz / safe_p
-    detb = (
-        c00 * (c11 * c22 - c12 * c12)
-        - c01 * (c01 * c22 - c12 * c02)
-        + c02 * (c01 * c12 - c11 * c02)
-    )
-    r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    # Polynomial trig (ops/trig.py): Mosaic has no acos lowering, and using
-    # the same polynomials as ops/eigen3.py keeps the two paths byte-equal.
-    _, cos_hi = cardano_cos_pair(r)
-    e2 = q + 2.0 * p * cos_hi
-    return jnp.where(p2 <= 1e-12, q, e2)
-
-
 def _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz):
-    """Normal = eigenvector of the smallest eigenvalue (cross-product form,
-    same construction as ops/eigen3.py), sign-fixed to nz >= 0."""
-    e2 = _smallest_eig(cxx, cxy, cxz, cyy, cyz, czz)
-    b00, b11, b22 = cxx - e2, cyy - e2, czz - e2
-    # rows of (A - e2 I)
-    r0x, r0y, r0z = b00, cxy, cxz
-    r1x, r1y, r1z = cxy, b11, cyz
-    r2x, r2y, r2z = cxz, cyz, b22
-    # cross products of row pairs
-    ax = r0y * r1z - r0z * r1y
-    ay = r0z * r1x - r0x * r1z
-    az = r0x * r1y - r0y * r1x
-    bx = r0y * r2z - r0z * r2y
-    by = r0z * r2x - r0x * r2z
-    bz = r0x * r2y - r0y * r2x
-    cx = r1y * r2z - r1z * r2y
-    cy = r1z * r2x - r1x * r2z
-    cz = r1x * r2y - r1y * r2x
-    na = ax * ax + ay * ay + az * az
-    nb = bx * bx + by * by + bz * bz
-    nc = cx * cx + cy * cy + cz * cz
-    use_a = na >= nb
-    vx = jnp.where(use_a, ax, bx)
-    vy = jnp.where(use_a, ay, by)
-    vz = jnp.where(use_a, az, bz)
-    nab = jnp.maximum(na, nb)
-    use_ab = nab >= nc
-    vx = jnp.where(use_ab, vx, cx)
-    vy = jnp.where(use_ab, vy, cy)
-    vz = jnp.where(use_ab, vz, cz)
-    nbest = jnp.maximum(nab, nc)
-    # Scale-relative degeneracy test — must mirror ops/eigen3.py exactly so
-    # the fused and unfused paths resolve rank-deficient fits identically.
-    fro2 = (
-        cxx * cxx + cyy * cyy + czz * czz
-        + 2.0 * (cxy * cxy + cxz * cxz + cyz * cyz)
-    )
-    degen = nbest <= jnp.float32(1e-12) * fro2 * fro2
-    vx = jnp.where(degen, 0.0, vx)
-    vy = jnp.where(degen, 0.0, vy)
-    vz = jnp.where(degen, 1.0, vz)
-    norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-    vx, vy, vz = vx / norm, vy / norm, vz / norm
-    bad = ~jnp.isfinite(cxx + cyy + czz + cxy + cxz + cyz)
-    nanv = jnp.float32(jnp.nan)
-    vx = jnp.where(bad, nanv, vx)
-    vy = jnp.where(bad, nanv, vy)
-    vz = jnp.where(bad, nanv, vz)
+    """Normal = eigenvector of the smallest eigenvalue, sign-fixed to
+    nz >= 0. Delegates to ops/eigen3.py:eig3_plane_columns — the deflation
+    construction (Mosaic-compatible: add/mul/sqrt/select + the shared trig
+    polynomials), traced identically by the kernels and the XLA paths so
+    every engine resolves every eigenproblem the same way. The old direct
+    cross-product-at-e2 form lost sqrt(eps) accuracy on clustered small
+    eigenvalues (see the eigen3 module docstring for the measured flip)."""
+    from patchworkpp_tpu.ops.eigen3 import eig3_plane_columns
+
+    _, _, _, vx, vy, vz = eig3_plane_columns(cxx, cxy, cxz, cyy, cyz, czz)
     flip = vz < 0
     return (
         jnp.where(flip, -vx, vx),
         jnp.where(flip, -vy, vy),
         jnp.where(flip, -vz, vz),
+    )
+
+
+def plane_row_from_moments(momp, spx, spy, spz):
+    """(S, 10) raw moment sums + per-patch shift columns -> the (S, 14)
+    plane-state row [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my,
+    mz] (reference estimate_plane, cpp/patchworkpp/src/patchworkpp.cpp:47-75,
+    with the n==1 NaN covariance resolved to the [0,0,0,1e30] sentinel).
+
+    THE one source of truth for the fit math: the unrolled kernel
+    (make_fit_kernel), the grid kernel (fit_kernel_grid) and the XLA tiled
+    engine (ops/tiled_fit.py) all trace this exact op sequence, so their
+    per-patch planes agree to the last ulp of the backend's arithmetic.
+    """
+    n = momp[:, 0:1]
+    safe_n = jnp.maximum(n, 1.0)
+    mqx = momp[:, 1:2] / safe_n
+    mqy = momp[:, 2:3] / safe_n
+    mqz = momp[:, 3:4] / safe_n
+    denom = n - 1.0
+    cxx = (momp[:, 4:5] - n * mqx * mqx) / denom
+    cxy = (momp[:, 5:6] - n * mqx * mqy) / denom
+    cxz = (momp[:, 6:7] - n * mqx * mqz) / denom
+    cyy = (momp[:, 7:8] - n * mqy * mqy) / denom
+    cyz = (momp[:, 8:9] - n * mqy * mqz) / denom
+    czz = (momp[:, 9:10] - n * mqz * mqz) / denom
+    nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
+    mx = mqx + spx
+    my = mqy + spy
+    mz = mqz + spz
+    d = -(nx * mx + ny * my + nz * mz)
+    nx, ny, nz, d = apply_plane_sentinel(nx, ny, nz, d)
+    return jnp.concatenate(
+        [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my, mz], axis=1
     )
 
 
@@ -302,31 +266,12 @@ def make_fit_kernel(params: Params, nt: int, num_zone0_patches: int):
 
         def run_fit(momp, gate, th_unused):
             """momp (S,10) raw moments -> updated plane cols, with carry."""
-            n = momp[:, 0:1]
-            safe_n = jnp.maximum(n, 1.0)
-            mqx = momp[:, 1:2] / safe_n
-            mqy = momp[:, 2:3] / safe_n
-            mqz = momp[:, 3:4] / safe_n
-            denom = n - 1.0
-            cxx = (momp[:, 4:5] - n * mqx * mqx) / denom
-            cxy = (momp[:, 5:6] - n * mqx * mqy) / denom
-            cxz = (momp[:, 6:7] - n * mqx * mqz) / denom
-            cyy = (momp[:, 7:8] - n * mqy * mqy) / denom
-            cyz = (momp[:, 8:9] - n * mqy * mqz) / denom
-            czz = (momp[:, 9:10] - n * mqz * mqz) / denom
-            nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
-            mx = mqx + gates_ref[:, 1:2]
-            my = mqy + gates_ref[:, 2:3]
-            mz = mqz + gates_ref[:, 3:4]
-            d = -(nx * mx + ny * my + nz * mz)
-            nx, ny, nz, d = apply_plane_sentinel(nx, ny, nz, d)
-            upd = (gate > 0.5) & (n > 0)
-            old = plane_ref[:]
-            new = jnp.concatenate(
-                [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my, mz,
-                 old[:, 14:16] * 0],
-                axis=1,
+            row = plane_row_from_moments(
+                momp, gates_ref[:, 1:2], gates_ref[:, 2:3], gates_ref[:, 3:4]
             )
+            upd = (gate > 0.5) & (momp[:, 0:1] > 0)
+            old = plane_ref[:]
+            new = jnp.concatenate([row, old[:, 14:16] * 0], axis=1)
             plane_ref[:] = jnp.where(upd, new, old)
 
         for ps in passes:

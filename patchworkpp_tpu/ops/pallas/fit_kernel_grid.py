@@ -65,9 +65,8 @@ from patchworkpp_tpu.ops.pallas.fit_kernel import (
     OUT_NORMAL,
     OUT_SNAP,
     _lane_prefix_exclusive,
-    _plane_from_cov,
-    apply_plane_sentinel,
     build_pass_program,
+    plane_row_from_moments,
 )
 from patchworkpp_tpu.ops.pallas.movement import (
     _seg_dots,
@@ -266,29 +265,10 @@ def make_fit_kernel_grid(
         def _():
             out_ref[:, OUT_GCOUNT:OUT_GCOUNT + 1] = momp[:, 0:1]
 
-        n = momp[:, 0:1]
-        safe_n = jnp.maximum(n, 1.0)
-        mqx = momp[:, 1:2] / safe_n
-        mqy = momp[:, 2:3] / safe_n
-        mqz = momp[:, 3:4] / safe_n
-        denom = n - 1.0
-        cxx = (momp[:, 4:5] - n * mqx * mqx) / denom
-        cxy = (momp[:, 5:6] - n * mqx * mqy) / denom
-        cxz = (momp[:, 6:7] - n * mqx * mqz) / denom
-        cyy = (momp[:, 7:8] - n * mqy * mqy) / denom
-        cyz = (momp[:, 8:9] - n * mqy * mqz) / denom
-        czz = (momp[:, 9:10] - n * mqz * mqz) / denom
-        nx, ny, nz = _plane_from_cov(cxx, cxy, cxz, cyy, cyz, czz)
-        mx, my, mz = mqx + spx, mqy + spy, mqz + spz
-        d = -(nx * mx + ny * my + nz * mz)
-        nx, ny, nz, d = apply_plane_sentinel(nx, ny, nz, d)
-        upd = (gate_p > 0.5) & (n > 0)
+        row = plane_row_from_moments(momp, spx, spy, spz)
+        upd = (gate_p > 0.5) & (momp[:, 0:1] > 0)
         old = plane_ref[:]
-        new = jnp.concatenate(
-            [nx, ny, nz, d, n, cxx, cxy, cxz, cyy, cyz, czz, mx, my, mz,
-             old[:, 14:16] * 0],
-            axis=1,
-        )
+        new = jnp.concatenate([row, old[:, 14:16] * 0], axis=1)
         plane_ref[:] = jnp.where(upd, new, old)
 
         snap_slot = snapslot_ref[phase]

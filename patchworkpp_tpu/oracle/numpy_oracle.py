@@ -33,6 +33,22 @@ from patchworkpp_tpu.params import Params
 _FLT_MIN = np.float32(np.finfo(np.float32).tiny)  # std::numeric_limits<float>::min()
 _DBL_MAX = np.finfo(np.float64).max
 
+_EIG3 = None
+
+
+def _shared_eig3():
+    """Jitted ops/eigen3.eig3_plane_columns on f32 scalars (lazy: keeps jax
+    out of oracle import). Runs on the default jax platform — a ~50 us
+    dispatch per fit, a few seconds over a full-resolution 12-config run."""
+    global _EIG3
+    if _EIG3 is None:
+        import jax
+
+        from patchworkpp_tpu.ops.eigen3 import eig3_plane_columns
+
+        _EIG3 = jax.jit(eig3_plane_columns)
+    return _EIG3
+
 
 class _PlaneState:
     """Mutable plane-fit scratch mirroring the reference's member variables
@@ -64,10 +80,23 @@ class _PlaneState:
             self.normal = np.full(3, np.nan, np.float32)
             self.d = np.float64(np.nan)
             return
-        # Symmetric PSD: singular values == eigenvalues, descending.
-        u, s, _ = np.linalg.svd(cov.astype(np.float32))
-        self.svals = s.astype(np.float32)
-        normal = u[:, 2].astype(np.float32)
+        # Symmetric PSD: singular values == eigenvalues, descending. THE
+        # SAME solver as every engine path (ops/eigen3.py — Cardano roots,
+        # hybrid cross-product/deflated eigenvector): the reference's
+        # JacobiSVD and this construction are both accurate to the
+        # conditioning bound, but on clustered small eigenvalues ANY two
+        # accurate solvers can disagree by more than a razor-thin decision
+        # margin — sharing the engines' solver makes oracle == engine label
+        # parity structural instead of reduction-order luck (the previous
+        # np.linalg.svd oracle diverged from the engines on ~0.03% of
+        # subsampled-scan points once the engines' solver changed).
+        cov32 = cov.astype(np.float32)
+        e0, e1, e2, vx, vy, vz = _shared_eig3()(
+            cov32[0, 0], cov32[0, 1], cov32[0, 2],
+            cov32[1, 1], cov32[1, 2], cov32[2, 2],
+        )
+        self.svals = np.array([e0, e1, e2], np.float32)
+        normal = np.array([vx, vy, vz], np.float32)
         if normal[2] < 0:
             normal = -normal
         self.normal = normal

@@ -94,20 +94,31 @@ def make_batch_frame_fn(params: Params, mesh: Mesh, axis: str = "frame"):
 
 
 def make_point_sharded_frame_fn(
-    params: Params, mesh: Mesh, axis: str = "point", donate_state: bool = False
+    params: Params,
+    mesh: Mesh,
+    axis: str = "point",
+    donate_state: bool = False,
+    fused: bool | str | None = "tiled",
 ):
     """Single-frame step with the point dimension sharded over ``mesh[axis]``.
 
-    The implementation lives in :mod:`patchworkpp_tpu.parallel.point_sharded`;
-    this thin wrapper keeps the public surface stable.
+    Per-shard engine: the tiled fit engine by default (the fused kernel's
+    layout/pass program XLA-composed around the collectives,
+    ops/tiled_fit.py); ``fused=False`` selects the sorted-layout unfused
+    path. The implementation lives in
+    :mod:`patchworkpp_tpu.parallel.point_sharded`; this thin wrapper keeps
+    the public surface stable.
     """
     from patchworkpp_tpu.parallel.point_sharded import build as _build
 
-    return _build(params, mesh, axis, donate_state=donate_state)
+    return _build(params, mesh, axis, donate_state=donate_state, fused=fused)
 
 
 def make_point_sharded_sequence_fn(
-    params: Params, mesh: Mesh, axis: str = "point"
+    params: Params,
+    mesh: Mesh,
+    axis: str = "point",
+    fused: bool | str | None = "tiled",
 ):
     """Point-sharded sequential chain: lax.scan of the sharded frame step
     (the multi-chip analog of pipeline.make_sequence_fn). See
@@ -115,4 +126,4 @@ def make_point_sharded_sequence_fn(
     """
     from patchworkpp_tpu.parallel.point_sharded import build_sequence
 
-    return build_sequence(params, mesh, axis)
+    return build_sequence(params, mesh, axis, fused=fused)

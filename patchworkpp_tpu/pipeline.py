@@ -171,6 +171,16 @@ class FrameComm:
         sums = patch_reduce(jnp.stack([sp.z * tf, tf], axis=1), sp.patch_id)
         return sums[:, 0], sums[:, 1]
 
+    def merge_lpr_table(self, z_at_rank, occ, elig_cnt, num_lpr: int):
+        """Merge per-shard dense LPR candidate tables (the tiled engine's
+        hook, ops/tiled_fit.py): (S, num_lpr) z at each local rank slot +
+        occupancy + (S,) local eligible count -> global (lpr_sum, lpr_cnt).
+
+        Identity form: the local table IS the global candidate set; sum the
+        occupied slots in rank (= z-ascending) order."""
+        s = jnp.sum(jnp.where(occ > 0.5, z_at_rank, 0.0), axis=1)
+        return s, jnp.minimum(elig_cnt, jnp.float32(num_lpr))
+
 
 def _fit_planes(
     carry: _PlaneCarry,
@@ -350,27 +360,37 @@ def make_frame_fn(
     p = params
     geom = geom or CZMGeometry.create(p)
     comm = comm or FrameComm()
+    sharded = comm is not None and getattr(comm, "is_sharded", False)
     if fused is None:
-        # Auto: the grid fused kernel is the product path on TPU (Mosaic
-        # compile ~110 s, ~0.9 ms/frame device time; see ROOFLINE.md);
-        # point-sharded runs use the unfused path (the kernel is
-        # single-chip, whole-frame). CPU runs use the unfused path —
-        # Pallas-on-CPU requires interpret mode, which is far slower than
-        # the XLA:CPU program.
+        # Auto: the TILED engine is the product path on TPU — the fused
+        # grid kernel's layout/pass program composed in XLA
+        # (ops/tiled_fit.py). Measured on the v5e chip (round 3): 1634
+        # scans/s vs the Mosaic grid kernel's 1192 (XLA overlaps the
+        # per-pass HBM traffic with compute and skips the kernel's ~110 s
+        # Mosaic compile), it is the only fused path that runs under point
+        # sharding, and it passes the same 12/12 on-chip golden gate. The
+        # grid kernel stays available as fused='grid'. CPU runs use the
+        # unfused path — Pallas-on-CPU requires interpret mode, and the
+        # XLA:CPU unfused program is the long-validated CPU default.
         import jax as _jax
 
-        # The Pallas grid kernel is Mosaic (TPU)-only: other accelerators
-        # (gpu/rocm) must take the XLA path too, not just cpu.
         on_tpu = _jax.default_backend() == "tpu"
-        sharded = comm is not None and getattr(comm, "is_sharded", False)
-        fused = bool(on_tpu and not sharded)
+        fused = "tiled" if on_tpu else False
     if fused is True:
         fused = "grid"
-    if fused not in (False, "grid", "grid_iota", "onehot"):
+    if fused not in (False, "grid", "grid_iota", "onehot", "tiled"):
         raise ValueError(
             f"unknown fused mode {fused!r}: expected False, True/'grid', "
-            "'grid_iota' (in-kernel static prefix triangle), or 'onehot' "
+            "'grid_iota' (in-kernel static prefix triangle), 'tiled' (the "
+            "XLA tiled engine — the shardable fused path), or 'onehot' "
             "(the 'scan' variant was removed)"
+        )
+    if sharded and fused not in (False, "tiled"):
+        raise ValueError(
+            f"fused={fused!r} is a single-chip Pallas kernel and cannot run "
+            "under a point-sharded comm; use fused='tiled' (the same tiled "
+            "design composed in XLA so cross-shard collectives interleave "
+            "at pass boundaries) or fused=False"
         )
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
@@ -656,7 +676,9 @@ def make_frame_fn(
         from patchworkpp_tpu.ops.pallas import fit_kernel as fk
 
         points = _sanitize_nonfinite(points.astype(jnp.float32))
-        npts = jnp.asarray(npts, jnp.int32)
+        # Under a sharded comm this body is the PER-SHARD program: points
+        # are this shard's rows, npts is the global count (mirrors frame()).
+        npts = jnp.asarray(npts, jnp.int32) - comm.row_offset(points.shape[0])
 
         with jax.named_scope("stage_rnr_czm"):
             bins = bin_points(points, npts, state.sensor_height, p, geom)
@@ -673,7 +695,7 @@ def make_frame_fn(
                     else None  # exotic CZM: generic one-hot counts
                 ),
             )
-        counts = tp.counts
+        counts = comm.reduce_patches(tp.counts)
         processed = (counts >= p.num_min_pts) & (sid < npz)
         proc_f = jnp.where(processed, 1.0, 0.0)
 
@@ -701,7 +723,17 @@ def make_frame_fn(
         )
         consts = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(margin_thr)
 
-        if fused == "onehot":
+        if fused == "tiled":
+            from patchworkpp_tpu.ops.tiled_fit import tiled_fit
+
+            with jax.named_scope("stage_fused_fit"):
+                out = tiled_fit(
+                    xs, ys, zs, valid_f, tile_patch, gates,
+                    margin_thr, params=p,
+                    num_zone0_patches=tables.num_zone0, comm=comm,
+                )
+                out = jnp.where(counts[:, None] > 0, out, 0.0)
+        elif fused == "onehot":
             with jax.named_scope("stage_fused_fit"):
                 out = fk.fused_fit(
                     xs, ys, zs, valid_f, tile_patch, gates, consts,

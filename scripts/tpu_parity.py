@@ -16,6 +16,7 @@ Usage:
   python scripts/tpu_parity.py             # default platform (TPU in-image)
   python scripts/tpu_parity.py --platform cpu
   python scripts/tpu_parity.py --unfused   # also gate the shardable XLA path
+  python scripts/tpu_parity.py --tiled     # also gate the tiled XLA engine
 
 Output: one PASS/FAIL line per configuration, nonzero exit on any mismatch.
 D2H over a tunneled chip is slow: only the (P,) bool mask is fetched per
@@ -30,7 +31,7 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DATA_DIR = "/root/reference/data"
+DATA_DIR = os.environ.get("PPK_DATA_DIR", "/root/reference/data")
 CAPACITY = 131072
 
 
@@ -40,6 +41,15 @@ def main() -> int:
                     help="jax platform override (e.g. cpu); default: in-image")
     ap.add_argument("--unfused", action="store_true",
                     help="also gate the unfused (point-shardable) XLA path")
+    ap.add_argument("--tiled", action="store_true",
+                    help="also gate the tiled XLA engine (the per-shard "
+                         "program of the point-sharded multi-chip path)")
+    ap.add_argument("--grid", action="store_true",
+                    help="also gate the Mosaic grid kernel explicitly "
+                         "(fused-auto is the tiled engine on TPU)")
+    ap.add_argument("--skip-fused", action="store_true",
+                    help="skip the fused-auto mode (e.g. to gate the XLA "
+                         "paths without waiting for the Mosaic compile)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +66,12 @@ def main() -> int:
     ]
     print(f"platform: {jax.devices()[0].platform}", flush=True)
 
-    modes = [("fused-auto", None)] + ([("unfused", False)] if args.unfused else [])
+    modes = (
+        ([] if args.skip_fused else [("fused-auto", None)])
+        + ([("unfused", False)] if args.unfused else [])
+        + ([("tiled", "tiled")] if args.tiled else [])
+        + ([("grid", "grid")] if args.grid else [])
+    )
     failures = 0
     for label, fused in modes:
         model = PatchworkPP(capacity=CAPACITY, fused=fused)

@@ -66,21 +66,34 @@ def test_frame_data_parallel(mesh8, scans, single_results):
 
 
 def test_point_sharded_frame(mesh8, scans, single_results):
-    """One frame's points sharded over 8 devices: labels match single-device."""
+    """One frame's points sharded over 8 devices: labels EXACTLY match the
+    single-device program on both real scans (zero tolerance). Cross-shard
+    reductions are fixed-order (MeshComm.reduce_patches: all_gather + sum in
+    shard order; lpr_stats: gather + sorted merge), so there is no
+    reduction-order slack to forgive."""
     p = Params()
     fn = make_point_sharded_frame_fn(p, mesh8, axis="d")
-    name = "000000"
+    for name in ["000000", "000001"]:
+        cloud = scans[name][::SUB]
+        padded = _pad(cloud)
+        state = init_state(p)
+        new_state, res = fn(state, jnp.asarray(padded), jnp.int32(len(cloud)))
+        got = np.asarray(res.ground_mask)[: len(cloud)]
+        np.testing.assert_array_equal(got, single_results[name], err_msg=name)
+        assert abs(float(new_state.sensor_height) - 1.723) < 0.2
+
+
+def test_point_sharded_unfused_exact(mesh8, scans, single_results):
+    """The unfused sorted-layout sharded engine (fused=False) stays exact
+    too — it remains the fallback when the tiled engine is not wanted."""
+    p = Params()
+    fn = make_point_sharded_frame_fn(p, mesh8, axis="d", fused=False)
+    name = "000001"
     cloud = scans[name][::SUB]
-    padded = _pad(cloud)
     state = init_state(p)
-    new_state, res = fn(state, jnp.asarray(padded), jnp.int32(len(cloud)))
+    _, res = fn(state, jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
     got = np.asarray(res.ground_mask)[: len(cloud)]
-    ref = single_results[name]
-    mism = int((got != ref).sum())
-    # f32 reduction-order differences across shards may flip borderline
-    # points; demand near-exactness.
-    assert mism <= len(cloud) * 1e-3, f"{mism}/{len(cloud)} labels differ"
-    assert abs(float(new_state.sensor_height) - 1.723) < 0.2
+    np.testing.assert_array_equal(got, single_results[name])
 
 
 def test_point_sharded_1device_mesh_exact(scans, single_results):
@@ -119,6 +132,37 @@ def test_point_sharded_size1_axis_on_multidevice_mesh(scans, single_results):
     _, res = fn(state, jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
     got = np.asarray(res.ground_mask)[: len(cloud)]
     np.testing.assert_array_equal(got, single_results[name])
+
+
+@pytest.mark.slow
+def test_point_sharded_full_res_golden(mesh8, scans, golden):
+    """Full-resolution golden parity THROUGH the 8-device point-sharded
+    program: all 6 scans, fresh AND sequential variants, zero tolerance —
+    the same exactness bar as the single-device paths
+    (tests/test_pipeline_golden.py::test_full_resolution_golden)."""
+    p = Params()
+    cap = 131072
+    fn = make_point_sharded_frame_fn(p, mesh8, axis="d")
+    names = [f"{i:06d}" for i in range(6)]
+
+    for name in names:  # fresh state per scan
+        cloud = scans[name]
+        _, res = fn(
+            init_state(p), jnp.asarray(_pad(cloud, cap)), jnp.int32(len(cloud))
+        )
+        got = np.flatnonzero(np.asarray(res.ground_mask)[: len(cloud)])
+        np.testing.assert_array_equal(
+            got, np.sort(golden[f"fresh_{name}"]), err_msg=f"fresh {name}"
+        )
+
+    st = init_state(p)  # one adapted chain across all 6
+    for name in names:
+        cloud = scans[name]
+        st, res = fn(st, jnp.asarray(_pad(cloud, cap)), jnp.int32(len(cloud)))
+        got = np.flatnonzero(np.asarray(res.ground_mask)[: len(cloud)])
+        np.testing.assert_array_equal(
+            got, np.sort(golden[f"seq_{name}"]), err_msg=f"seq {name}"
+        )
 
 
 def test_point_sharded_state_matches_single(mesh8, scans):
