@@ -19,9 +19,11 @@ margin.
 
 So the vector path is a branchless HYBRID:
 
-- (e1 - e2) > 1% of ||A||_F: the original cross-product-at-e2 form,
-  bit-identical to what every golden-validated configuration has always
-  computed;
+- (e1 - e2) > 1% of ||A||_F: the original cross-product-at-e2 form in
+  the kernels' component formulation (the stacked jnp.cross variant the
+  old XLA path used fuses differently by up to an ulp — the two original
+  forms were never bitwise-equal to EACH OTHER; fused == unfused was
+  always a label-level invariant);
 - clustered pair: DEFLATION — eigenvector v0 of the isolated largest root
   from cross products of (A - e0 I) rows (if e0 ~ e1 instead, v0's
   in-cluster rotation is harmless: v2 is orthogonal to the whole cluster
@@ -136,9 +138,9 @@ def eig3_plane_columns(a00, a01, a02, a11, a12, a22):
     e1v = jnp.where(isotropic, q, e1)
     e2v = jnp.where(isotropic, q, e2)
 
-    # ---- separated-pair construction (the original form, op-for-op — its
-    # outputs must stay BIT-IDENTICAL to every previously validated run):
-    # eigenvector of e2 from the largest cross product of (A - e2 I) rows.
+    # ---- separated-pair construction (the original kernel-form
+    # construction, op-for-op): eigenvector of e2 from the largest cross
+    # product of (A - e2 I) rows.
     sx, sy, sz, nbest_s = _best_row_cross(
         a00 - e2, a01, a02, a11 - e2, a12, a22 - e2
     )

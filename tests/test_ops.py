@@ -54,6 +54,150 @@ def test_eigen3_nan_and_zero():
     np.testing.assert_array_equal(np.asarray(vm[1]), [0, 0, 1])
 
 
+def test_eigen3_clustered_pair_accuracy(rng):
+    """The hybrid's reason to exist: when the two SMALL eigenvalues cluster,
+    the deflated path must stay within the intrinsic conditioning bound
+    instead of the old cross-product-at-e2 form's sqrt(eps) blowup (which
+    measurably rotated a real patch's normal across the uprightness
+    threshold — scan 000004 patch 343; see ops/eigen3.py docstring)."""
+    # Gaps INSIDE the hybrid's 1% switch but ABOVE f32 determinability
+    # (the eigvec of a pair with gap <~ 100*eps*||A|| is not determined by
+    # an f32 matrix at all — any two correct solvers may disagree up to 90
+    # degrees there, and the solver resolves sub-resolution pairs to +z).
+    mats, gaps = [], []
+    for i in range(2000):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        gap = 10.0 ** rng.uniform(-3.5, -2.3)  # absolute e1-e2, fro ~ 5
+        d = np.diag([5.0, 0.01 + gap, 0.01])
+        mats.append(q @ d @ q.T)
+        gaps.append(gap)
+    cov = np.asarray(mats, np.float32)
+    gaps = np.asarray(gaps)
+    _, vm = map(np.asarray, jax.jit(eigh3x3_descending)(jnp.asarray(cov)))
+    w64 = np.linalg.eigh(cov.astype(np.float64))
+    vref = w64.eigenvectors[:, :, 0]
+    dots = np.abs(np.einsum("bi,bi->b", vm, vref))
+    ang = np.radians(np.degrees(np.arccos(np.clip(dots, 0.0, 1.0))))
+    # Intrinsic conditioning: err ~ eps * ||A|| / gap. Demand the deflated
+    # path stays within a small multiple of it; the OLD construction's
+    # sqrt(eps) eigenvalue error put it at ~0.8 rad at the tight end.
+    bound = 12.0 * np.finfo(np.float32).eps * 5.0 / gaps
+    frac_over = (ang > np.maximum(bound, 2e-4)).mean()
+    assert frac_over < 0.01, (
+        f"{frac_over:.1%} of clustered pencils exceed the conditioning "
+        f"bound (worst {ang.max():.4f} rad at gap {gaps[ang.argmax()]:.1e})"
+    )
+
+
+def test_eigen3_separated_path_matches_original_construction():
+    """Lock the hybrid's separated-regime contract: for pencils with
+    (e1 - e2) > 1% of ||A||_F the output is the ORIGINAL
+    cross-product-at-e2 construction. The reference here is the stacked
+    jnp.cross form the old eigen3 used — the hybrid standardizes on the old
+    KERNEL's component form, and the two fuse differently by up to 1 ulp
+    per component (they were never bitwise-equal to each other; fused ==
+    unfused was always a label-level invariant, per CLAUDE.md). So: 1-ulp
+    component agreement vs the jnp.cross form, and bitwise agreement with a
+    component-form reimplementation."""
+    from patchworkpp_tpu.ops.trig import cardano_cos_pair
+
+    def original(cov):
+        a00, a01, a02 = cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2]
+        a11, a12, a22 = cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]
+        off_sq = a01 * a01 + a02 * a02 + a12 * a12
+        q = (a00 + a11 + a22) / 3.0
+        b00, b11, b22 = a00 - q, a11 - q, a22 - q
+        p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * off_sq
+        p = jnp.sqrt(p2 / 6.0)
+        safe_p = jnp.where(p > 1e-12, p, 1.0)
+        c00, c11, c22 = b00 / safe_p, b11 / safe_p, b22 / safe_p
+        c01, c02, c12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
+        detb = (
+            c00 * (c11 * c22 - c12 * c12)
+            - c01 * (c01 * c22 - c12 * c02)
+            + c02 * (c01 * c12 - c11 * c02)
+        )
+        r = jnp.clip(detb / 2.0, -1.0, 1.0)
+        _, cos_hi = cardano_cos_pair(r)
+        e2 = q + 2.0 * p * cos_hi
+        r0 = jnp.stack([a00 - e2, a01, a02], axis=-1)
+        r1 = jnp.stack([a01, a11 - e2, a12], axis=-1)
+        r2 = jnp.stack([a02, a12, a22 - e2], axis=-1)
+        c_a, c_b, c_c = jnp.cross(r0, r1), jnp.cross(r0, r2), jnp.cross(r1, r2)
+        n_a = jnp.sum(c_a * c_a, axis=-1)
+        n_b = jnp.sum(c_b * c_b, axis=-1)
+        n_c = jnp.sum(c_c * c_c, axis=-1)
+        best_ab = jnp.where((n_a >= n_b)[..., None], c_a, c_b)
+        nbest_ab = jnp.maximum(n_a, n_b)
+        best = jnp.where((nbest_ab >= n_c)[..., None], best_ab, c_c)
+        nbest = jnp.maximum(nbest_ab, n_c)
+        fro2 = a00 * a00 + a11 * a11 + a22 * a22 + 2.0 * off_sq
+        degenerate = nbest <= jnp.float32(1e-12) * fro2 * fro2
+        zhat = jnp.zeros_like(best).at[..., 2].set(1.0)
+        vec = jnp.where(degenerate[..., None], zhat, best)
+        norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True))
+        vmin = vec / norm
+        flip = vmin[..., 2] < 0
+        return jnp.where(flip[..., None], -vmin, vmin)
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(4000, 3, 3)).astype(np.float32)
+    cov = (a @ a.transpose(0, 2, 1)).astype(np.float32)
+    ev, vm = map(np.asarray, jax.jit(eigh3x3_descending)(jnp.asarray(cov)))
+    vref = np.asarray(jax.jit(original)(jnp.asarray(cov)))
+    fro = np.sqrt((cov * cov).sum(axis=(1, 2), dtype=np.float64))
+    # 1.1% margin over the solver's 1% switch keeps this predicate clear of
+    # ulp disagreements with the solver's own f32 gap estimate.
+    separated = (ev[:, 1] - ev[:, 2]) > 0.011 * fro
+    assert separated.sum() > 3000, "distribution sanity"
+    # vs jnp.cross form: ulp-class agreement on unit-vector components
+    diff = np.abs(vm[separated] - vref[separated]).max()
+    assert diff <= 5e-7, f"separated path drifted {diff} from jnp.cross form"
+
+    # vs the component form (what eig3_plane_columns traces): bitwise
+    from patchworkpp_tpu.ops.eigen3 import _best_row_cross
+
+    def component_form(cov):
+        a00, a01, a02 = cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2]
+        a11, a12, a22 = cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]
+        off_sq = a01 * a01 + a02 * a02 + a12 * a12
+        q = (a00 + a11 + a22) / 3.0
+        b00, b11, b22 = a00 - q, a11 - q, a22 - q
+        p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * off_sq
+        p = jnp.sqrt(p2 / 6.0)
+        safe_p = jnp.where(p > 1e-12, p, 1.0)
+        c00, c11, c22 = b00 / safe_p, b11 / safe_p, b22 / safe_p
+        c01, c02, c12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
+        detb = (
+            c00 * (c11 * c22 - c12 * c12)
+            - c01 * (c01 * c22 - c12 * c02)
+            + c02 * (c01 * c12 - c11 * c02)
+        )
+        r = jnp.clip(detb / 2.0, -1.0, 1.0)
+        _, cos_hi = cardano_cos_pair(r)
+        e2 = q + 2.0 * p * cos_hi
+        vx, vy, vz, nbest = _best_row_cross(
+            a00 - e2, a01, a02, a11 - e2, a12, a22 - e2
+        )
+        fro2 = a00 * a00 + a11 * a11 + a22 * a22 + 2.0 * off_sq
+        degen = nbest <= jnp.float32(1e-12) * fro2 * fro2
+        vx = jnp.where(degen, 0.0, vx)
+        vy = jnp.where(degen, 0.0, vy)
+        vz = jnp.where(degen, 1.0, vz)
+        norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+        vx, vy, vz = vx / norm, vy / norm, vz / norm
+        flip = vz < 0
+        return jnp.stack(
+            [jnp.where(flip, -vx, vx), jnp.where(flip, -vy, vy),
+             jnp.where(flip, -vz, vz)], axis=-1,
+        )
+
+    vcomp = np.asarray(jax.jit(component_form)(jnp.asarray(cov)))
+    np.testing.assert_array_equal(
+        vm[separated].view(np.int32), vcomp[separated].view(np.int32)
+    )
+
+
 # ------------------------------------------------------------------ onehot
 
 

@@ -27,6 +27,72 @@ def _pad(cloud, cap=CAPACITY):
     return out
 
 
+def test_rne_split3_reconstructs_bitwise():
+    """The integer-ops round-to-nearest bf16x3 split must sum back to the
+    input EXACTLY (hi + mid + lo == x bitwise, incl. negatives, powers of
+    two, rounding-up-at-boundary cases) for |x| above the bf16 DENORMAL
+    floor of the third part (~1e-33; below it the lo part quantizes — the
+    kernels' float-convert _split3 has the identical floor, and engine
+    payloads at that magnitude are decision-dead). It is the carrier of
+    every f32 payload through the tiled engine's movement dots; the float
+    convert form of the same split is silently elided by XLA (the
+    documented onehot.py hazard), hence this integer implementation."""
+    from patchworkpp_tpu.ops.tiled_fit import _rne_bf16_split3
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        (rng.normal(size=4096) * np.exp(rng.uniform(-60, 80, 4096))),
+        [0.0, -0.0, 1.0, -1.0, 1e30, -1e30, 1.5],
+        # rounding boundary: significand just above a bf16 midpoint
+        [np.float32(1.0039063), np.float32(-1.0039063)],
+    ]).astype(np.float32)
+    vals = np.where(np.abs(vals) < 1e-30, np.float32(1e-30), vals)
+    hi, mid, lo = jax.jit(_rne_bf16_split3)(jnp.asarray(vals))
+    back = (
+        np.asarray(hi, np.float32)
+        + np.asarray(mid, np.float32)
+        + np.asarray(lo, np.float32)
+    )
+    nz = vals != 0.0
+    np.testing.assert_array_equal(
+        back[nz].view(np.int32), vals[nz].view(np.int32)
+    )
+    assert (back[~nz] == 0.0).all()
+    # parts really are bf16-representable (convert roundtrip is identity)
+    for part in (hi, mid, lo):
+        assert part.dtype == jnp.bfloat16
+        p32 = np.asarray(part, np.float32)
+        np.testing.assert_array_equal(
+            p32, p32.astype(jnp.bfloat16).astype(np.float32)
+        )
+
+
+def test_reduce_tiles_split3_exact_selection():
+    """Tile->patch reduction: single-tile patches are exact SELECTIONS
+    (bitwise), multi-tile sums match a float64 reference to f32 tolerance."""
+    from patchworkpp_tpu.ops.tiled_fit import _reduce_tiles_split3
+
+    rng = np.random.default_rng(5)
+    nt, c = 96, 10
+    v = (rng.normal(size=(nt, c)) * np.exp(rng.uniform(-30, 30, (nt, c)))
+         ).astype(np.float32)
+    # patches 0..47 own one tile each; patch 48 owns the rest
+    tpc = np.concatenate([np.arange(48), np.full(nt - 48, 48)]).astype(np.int32)
+    out = np.asarray(
+        jax.jit(_reduce_tiles_split3)(jnp.asarray(v), jnp.asarray(tpc))
+    )
+    nzmask = v[:48] != 0.0
+    np.testing.assert_array_equal(
+        out[:48][nzmask].view(np.int32), v[:48][nzmask].view(np.int32)
+    )
+    ref = v[48:].astype(np.float64).sum(0)
+    # column sums accumulate in f32 per bf16 part: error ~ n * ulp(max |v|)
+    np.testing.assert_allclose(
+        out[48], ref, rtol=1e-5, atol=np.abs(v[48:]).max() * 1e-5
+    )
+    assert (out[49:] == 0).all()
+
+
 def test_tiled_matches_unfused_chain(scans):
     """Single device: per-frame labels identical to the unfused path through
     a 3-scan adaptive chain (each engine evolves its own state — threshold
