@@ -180,8 +180,10 @@ def test_degenerate_single_seed_fit_is_contained():
     pts = np.zeros((8192, 4), np.float32)
     pts[: len(cloud)] = cloud
     args = (jnp.asarray(pts), jnp.int32(len(cloud)))
-    for fused in (False, "grid"):
-        fn = jax.jit(make_frame_fn(Params(), fused=fused, interpret=bool(fused)))
+    for fused in (False, "tiled", "grid"):
+        fn = jax.jit(
+            make_frame_fn(Params(), fused=fused, interpret=fused == "grid")
+        )
         st, res = fn(init_state(Params()), *args)
         got = np.asarray(res.ground_mask)[: len(cloud)]
         np.testing.assert_array_equal(got, ref, err_msg=f"fused={fused}")
