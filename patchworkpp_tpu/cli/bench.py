@@ -203,7 +203,10 @@ def main() -> None:
     # ~6 ms round trip is inside each group's wall — < 1.5% at the default
     # ~600-frame group size, and it biases the number DOWN (conservative).
     groups = max(1, args.groups)
-    per_group = max(1, epochs // groups)
+    # Distribute epochs across groups WITHOUT dropping the remainder (the
+    # first `epochs % groups` groups run one extra epoch).
+    base, rem = divmod(max(groups, epochs), groups)
+    group_sizes = [base + (1 if g < rem else 0) for g in range(groups)]
     group_rates = []
     frames = 0
     ei = 0
@@ -211,7 +214,7 @@ def main() -> None:
     for g in range(groups):
         t0 = time.perf_counter()
         gframes = 0
-        for _ in range(per_group):
+        for _ in range(group_sizes[g]):
             st, _ = ep(st, stack, npts, _eps(2 + ei))
             ei += 1
             gframes += frames_per_epoch

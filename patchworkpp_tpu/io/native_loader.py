@@ -44,7 +44,19 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except (OSError, AttributeError):
+        # Unloadable or STALE library (e.g. a prebuilt .so from an older
+        # revision missing a symbol such as ppk_loader_truncations): treat
+        # as not-built so available() falls through to build(), which
+        # recompiles (make sees the newer loader.cpp) instead of raising.
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ppk_loader_create.restype = ctypes.c_void_p
     lib.ppk_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -69,7 +81,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ppk_loader_truncations.restype = ctypes.c_int
     lib.ppk_loader_truncations.argtypes = [ctypes.c_void_p]
     lib.ppk_loader_destroy.argtypes = [ctypes.c_void_p]
-    _lib = lib
     return lib
 
 

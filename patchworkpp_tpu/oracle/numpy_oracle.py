@@ -38,15 +38,30 @@ _EIG3 = None
 
 def _shared_eig3():
     """Jitted ops/eigen3.eig3_plane_columns on f32 scalars (lazy: keeps jax
-    out of oracle import). Runs on the default jax platform — a ~50 us
-    dispatch per fit, a few seconds over a full-resolution 12-config run."""
+    out of oracle import), PINNED TO CPU when a cpu backend exists: this
+    image's sitecustomize defaults jax to the tunneled TPU, and one relay
+    dispatch per plane fit (~7.7 ms x ~40k fits over a 12-config run) would
+    turn the oracle into a chip-hammering hours-long job. On CPU each call
+    is a ~50 us dispatch — a few seconds over a full-resolution run."""
     global _EIG3
     if _EIG3 is None:
         import jax
 
         from patchworkpp_tpu.ops.eigen3 import eig3_plane_columns
 
-        _EIG3 = jax.jit(eig3_plane_columns)
+        fn = jax.jit(eig3_plane_columns)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # cpu backend not registered on this platform
+            cpu = None
+        if cpu is None:
+            _EIG3 = fn
+        else:
+            def _on_cpu(*args, _fn=fn, _cpu=cpu):
+                with jax.default_device(_cpu):
+                    return _fn(*args)
+
+            _EIG3 = _on_cpu
     return _EIG3
 
 

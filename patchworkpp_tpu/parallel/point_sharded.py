@@ -108,10 +108,17 @@ class MeshComm(FrameComm):
         """Cross-shard merge of dense per-shard LPR candidate tables (the
         tiled engine's hook): gather every shard's <= num_lpr lowest local
         eligible z per patch, keep the global lowest num_lpr, and sum them
-        ascending over min(num_lpr, global eligible count) — the same
-        ascending-z summation order as the single-device path. Occupancy
-        masks unoccupied slots to +inf BEFORE the gather so they sort to the
-        tail; the masked sum uses where() (inf * 0 would be NaN)."""
+        ascending over min(num_lpr, global eligible count). The ADDEND SET
+        is exactly the single-device path's (tie sums are order-invariant)
+        and the order is ascending-z, but the f32 association tree differs
+        from the single-device per-tile-then-patch reduction — so sharded
+        LPR means can differ from single-device by an ulp, and the
+        sharded == single-device label equality is an EMPIRICAL invariant
+        enforced by the zero-tolerance tests (test_sharded.py, incl. the
+        full-resolution golden gate), not a bitwise-structural one. Same
+        epistemic status as the fused == unfused invariant (CLAUDE.md).
+        Occupancy masks unoccupied slots to +inf BEFORE the gather so they
+        sort to the tail; the masked sum uses where() (inf * 0 = NaN)."""
         dense = jnp.where(occ > 0.5, z_at_rank, jnp.inf)
         allv = jax.lax.all_gather(dense, self.axis, axis=1, tiled=True)
         merged = jax.lax.sort(allv, dimension=1)[:, :num_lpr]
@@ -169,10 +176,12 @@ def build(
     geom = CZMGeometry.create(params)
     donate = (0,) if donate_state else ()
     if _single_device(mesh):
-        # Plain jit of the product frame (fused=auto): same results, no
-        # SPMD executable. See _single_device for the measured why.
+        # Plain jit of the frame with the SAME engine selection: same
+        # results, no SPMD executable. See _single_device for the measured
+        # why. `fused` must be honored here too — a caller gating the
+        # unfused engine through a 1-device mesh must actually get it.
         return jax.jit(
-            make_frame_fn(params, geom, comm=_comm_for(mesh, axis)),
+            make_frame_fn(params, geom, comm=_comm_for(mesh, axis), fused=fused),
             donate_argnums=donate,
         )
     frame = make_frame_fn(params, geom, comm=_comm_for(mesh, axis), fused=fused)
@@ -214,12 +223,13 @@ def build_sequence(
     """
     geom = CZMGeometry.create(params)
     if _single_device(mesh):
-        # Plain jit scan of the product frame (fused=auto): same results,
-        # no SPMD executable. See _single_device for the measured why.
+        # Plain jit scan of the frame with the SAME engine selection: same
+        # results, no SPMD executable. See _single_device for the measured
+        # why.
         from patchworkpp_tpu.pipeline import make_sequence_fn
 
         return jax.jit(
-            make_sequence_fn(params, geom, comm=_comm_for(mesh, axis))
+            make_sequence_fn(params, geom, comm=_comm_for(mesh, axis), fused=fused)
         )
     frame = make_frame_fn(params, geom, comm=_comm_for(mesh, axis), fused=fused)
 

@@ -176,8 +176,14 @@ class FrameComm:
         hook, ops/tiled_fit.py): (S, num_lpr) z at each local rank slot +
         occupancy + (S,) local eligible count -> global (lpr_sum, lpr_cnt).
 
-        Identity form: the local table IS the global candidate set; sum the
-        occupied slots in rank (= z-ascending) order."""
+        Identity form — the CONTRACT definition for custom comms (pinned by
+        tests/test_sharded.py::test_merge_lpr_table_contract): the local
+        table IS the global candidate set; sum the occupied slots in rank
+        (= z-ascending) order over min(count, num_lpr). Note the tiled
+        engine's single-device fast path computes the same quantities
+        through a cheaper 2-column reduction without building the table
+        (ops/tiled_fit.py), so on the identity comm this method is the
+        semantic reference, not the executed code."""
         s = jnp.sum(jnp.where(occ > 0.5, z_at_rank, 0.0), axis=1)
         return s, jnp.minimum(elig_cnt, jnp.float32(num_lpr))
 

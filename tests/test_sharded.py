@@ -83,6 +83,30 @@ def test_point_sharded_frame(mesh8, scans, single_results):
         assert abs(float(new_state.sensor_height) - 1.723) < 0.2
 
 
+def test_merge_lpr_table_contract():
+    """Pin the FrameComm.merge_lpr_table hook contract (the identity
+    reference semantics custom comms must honor): occupied slots sum in
+    rank order, count clamps to num_lpr, empty patches yield (0, 0)."""
+    from patchworkpp_tpu.pipeline import FrameComm
+
+    num_lpr = 4
+    z = jnp.asarray(
+        [
+            [-1.9, -1.7, -1.5, 0.0],   # 3 of 4 slots occupied, 3 eligible
+            [-2.0, -1.8, -1.6, -1.4],  # full table, 9 eligible > num_lpr
+            [0.0, 0.0, 0.0, 0.0],      # empty patch
+        ],
+        jnp.float32,
+    )
+    occ = jnp.asarray(
+        [[1, 1, 1, 0], [1, 1, 1, 1], [0, 0, 0, 0]], jnp.float32
+    )
+    cnt = jnp.asarray([3.0, 9.0, 0.0])
+    s, k = FrameComm().merge_lpr_table(z, occ, cnt, num_lpr)
+    np.testing.assert_allclose(np.asarray(s), [-5.1, -6.8, 0.0], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k), [3.0, 4.0, 0.0])
+
+
 def test_point_sharded_unfused_exact(mesh8, scans, single_results):
     """The unfused sorted-layout sharded engine (fused=False) stays exact
     too — it remains the fallback when the tiled engine is not wanted."""
