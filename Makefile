@@ -1,10 +1,14 @@
 # Top-level targets mirroring the reference's Makefile (reference:
 # Makefile:1-15 — pyinstall / cppinstall).
 
-.PHONY: pyinstall cppinstall test test-slow bench check
+.PHONY: pyinstall pyinstall_with_demo cppinstall test test-slow bench check
 
 pyinstall:
 	pip install --no-build-isolation -e .
+
+# Reference Makefile's pyinstall_with_demo analog (Open3D visualization).
+pyinstall_with_demo:
+	pip install --no-build-isolation -e .[demo]
 
 cppinstall:
 	$(MAKE) -C native
