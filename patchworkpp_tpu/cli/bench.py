@@ -202,10 +202,13 @@ def main() -> None:
     # ONE scalar fetch (the only reliable sync on this relay). The fetch's
     # ~6 ms round trip is inside each group's wall — < 1.5% at the default
     # ~600-frame group size, and it biases the number DOWN (conservative).
-    groups = max(1, args.groups)
+    # Never run more groups than epochs: each group must time >= 1 epoch,
+    # and inflating epochs past the requested count would silently exceed
+    # the user's --epochs (the reported frames_total would contradict it).
+    groups = min(max(1, args.groups), epochs)
     # Distribute epochs across groups WITHOUT dropping the remainder (the
     # first `epochs % groups` groups run one extra epoch).
-    base, rem = divmod(max(groups, epochs), groups)
+    base, rem = divmod(epochs, groups)
     group_sizes = [base + (1 if g < rem else 0) for g in range(groups)]
     group_rates = []
     frames = 0

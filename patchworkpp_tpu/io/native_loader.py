@@ -180,9 +180,15 @@ class NativeScanLoader:
 
     def close(self) -> None:
         if self._handle:
-            self._release_held()
-            self._lib.ppk_loader_destroy(self._handle)
-            self._handle = None
+            # Destroy the loader even if releasing the held buffer reports a
+            # bookkeeping error: skipping destroy would leak worker threads
+            # and slots until __del__ retries (and raising from __exit__ can
+            # mask an in-flight exception from the with-body).
+            try:
+                self._release_held()
+            finally:
+                self._lib.ppk_loader_destroy(self._handle)
+                self._handle = None
 
     def __enter__(self) -> "NativeScanLoader":
         return self
