@@ -161,7 +161,9 @@ def supports_factored_counts(geom: CZMGeometry) -> bool:
     return total_rings + 1 <= _HIST_R - 1 and max_sectors <= _HIST_S - 1
 
 
-def factored_patch_counts(bins: PointBins, geom: CZMGeometry) -> jnp.ndarray:
+def factored_patch_counts(
+    bins: PointBins, geom: CZMGeometry, width: int | None = None
+) -> jnp.ndarray:
     """Per-patch point counts as a (ring14 x sector) MXU histogram.
 
     counts[p] = sum_i [ring14_i == r(p)][sector_i == s(p)] — two narrow
@@ -173,11 +175,13 @@ def factored_patch_counts(bins: PointBins, geom: CZMGeometry) -> jnp.ndarray:
     overflow bucket) lands in exactly one cell, so the result equals
     patch_reduce(ones, patch_id) bitwise.
 
-    Returns: (SPAD,) f32 counts (index SPAD-8.. are the unused pad buckets;
-    the overflow bucket ``num_patches`` holds padding + out-of-range + RNR
-    rows, as in the patch_id encoding).
+    Returns: (width,) f32 counts (width defaults to geom.spad; the trailing
+    indices past num_patches+1 are unused pad buckets; the overflow bucket
+    ``num_patches`` holds padding + out-of-range + RNR rows, as in the
+    patch_id encoding).
     """
-    from patchworkpp_tpu.ops.onehot import SPAD
+    if width is None:
+        width = geom.spad
 
     if not supports_factored_counts(geom):
         raise ValueError(
@@ -194,7 +198,7 @@ def factored_patch_counts(bins: PointBins, geom: CZMGeometry) -> jnp.ndarray:
     # Static pid -> histogram cell map. Unused pad buckets point at the
     # always-empty cell (_HIST_R-1, _HIST_S-1): ring14 <= 14 < 15 for every
     # point, so its count is exactly 0.
-    cell = np.full(SPAD, (_HIST_R - 1) * _HIST_S + (_HIST_S - 1), np.int64)
+    cell = np.full(width, (_HIST_R - 1) * _HIST_S + (_HIST_S - 1), np.int64)
     for k in range(p.num_zones):
         for ring in range(int(nrings[k])):
             for sec in range(int(nsectors[k])):

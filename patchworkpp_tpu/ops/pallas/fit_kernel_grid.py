@@ -1,5 +1,13 @@
 """Grid-ified fused fit kernel: the pass program runs as the Pallas grid.
 
+STATUS (round-4 policy): experimental Pallas canary, not a product path —
+strictly dominated by the XLA tiled engine (ops/tiled_fit.py, which runs
+this kernel's exact pass program composed in XLA: 1650 vs 1192 scans/s),
+unshardable, 512-patch-native, ~110 s Mosaic compile. Retained as the
+Pallas-toolchain regression canary and as the bitwise reference for the
+tiled engine (shared _pass_config / plane_row_from_moments). Gate on
+hardware with `scripts/tpu_parity.py --grid` when kernel code changes.
+
 The unrolled fused kernel (fit_kernel.py) is semantically complete and
 oracle-exact, but Mosaic compiles its ~11 unrolled passes for >40 minutes
 on this toolchain (an unrolled segment-matrix variant, since removed, had

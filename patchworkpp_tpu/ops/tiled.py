@@ -24,14 +24,15 @@ from patchworkpp_tpu.ops.onehot import SPAD, patch_reduce
 TILE = 128
 
 
-def tiled_capacity(p: int) -> int:
+def tiled_capacity(p: int, width: int = SPAD) -> int:
     """Static extended length for a P-point cloud (multiple of TILE).
 
-    Sized so the static (SPAD, TILE-1) filler grid always fits: every patch
+    Sized so the static (width, TILE-1) filler grid always fits: every patch
     (including the unprocessed bucket) can need at most TILE-1 alignment
-    fillers.
+    fillers. ``width`` is the padded patch-space size (geom.spad; 512 for
+    the default 504-patch CZM).
     """
-    worst = p + SPAD * (TILE - 1)
+    worst = p + width * (TILE - 1)
     return -(-worst // TILE) * TILE
 
 
@@ -48,23 +49,25 @@ def build_tiled(
     xyz: jnp.ndarray,
     patch_id: jnp.ndarray,
     counts: jnp.ndarray | None = None,
+    width: int = SPAD,
 ) -> TiledPoints:
     """Sort points into the tiled layout.
 
     Args:
       xyz: (P, 3) f32 points (original order).
-      patch_id: (P,) int32 in [0, SPAD).
-      counts: optional precomputed (SPAD,) f32 per-patch counts (must equal
+      patch_id: (P,) int32 in [0, width).
+      counts: optional precomputed (width,) f32 per-patch counts (must equal
         patch_reduce(ones, patch_id) — e.g. binning.factored_patch_counts);
         computed here when absent.
+      width: padded patch-space size (geom.spad; 512 default CZM).
     """
     p = xyz.shape[0]
-    pt = tiled_capacity(p)
+    pt = tiled_capacity(p, width)
     nfill = pt - p
 
     # Real per-patch counts and the padded (tile-aligned) run lengths.
     if counts is None:
-        counts = patch_reduce(jnp.ones((p, 1), jnp.float32), patch_id)[:, 0]
+        counts = patch_reduce(jnp.ones((p, 1), jnp.float32), patch_id, width)[:, 0]
     counts_i = counts.astype(jnp.int32)
     padded = -(-counts_i // TILE) * TILE  # ceil to tile multiple; 0 stays 0
     pad_start = jnp.concatenate(
@@ -76,18 +79,18 @@ def build_tiled(
     # (nfill, SPAD) compare-reduce, ~70 us/frame of VPU at this size — and
     # jnp.searchsorted is worse: it lowers to a binary-search loop whose
     # body is a row-wise-emitter gather, ~5 ms/frame), lay fillers out as a
-    # STATIC (SPAD, TILE-1) grid: slot (p, i) is a patch-p filler iff
+    # STATIC (width, TILE-1) grid: slot (p, i) is a patch-p filler iff
     # i < fill_needed[p] — one broadcast compare. Excess slots get the
-    # sentinel key SPAD and sort to the global tail with the trailing
+    # sentinel key `width` and sort to the global tail with the trailing
     # capacity pad, exactly as before.
     fill_needed = padded - counts_i
     grid_i = jnp.arange(TILE - 1, dtype=jnp.int32)[None, :]
-    grid_p = jnp.arange(SPAD, dtype=jnp.int32)[:, None]
+    grid_p = jnp.arange(width, dtype=jnp.int32)[:, None]
     grid_patch = jnp.where(
-        grid_i < fill_needed[:, None], grid_p, jnp.int32(SPAD)
+        grid_i < fill_needed[:, None], grid_p, jnp.int32(width)
     ).reshape(-1)
     fill_patch = jnp.concatenate(
-        [grid_patch, jnp.full(nfill - SPAD * (TILE - 1), SPAD, jnp.int32)]
+        [grid_patch, jnp.full(nfill - width * (TILE - 1), width, jnp.int32)]
     )
 
     big = jnp.float32(jnp.inf)

@@ -160,19 +160,21 @@ def tiled_fit(
     params: Params,
     num_zone0_patches: int,
     comm,
+    spad: int = SPAD,
 ):
     """Run the fused fit program on the tiled layout as composed XLA.
 
     Args:
       xs, ys, zs, valid_f: (NT, 128) f32 tiled point data (this shard's).
-      tile_patch: (NT, 1) int32 patch owning each tile (sentinels < SPAD).
-      gates_p: (SPAD, 8) f32 [processed(global), shift_x/y/z, ...].
+      tile_patch: (NT, 1) int32 patch owning each tile (sentinels < spad).
+      gates_p: (spad, 8) f32 [processed(global), shift_x/y/z, ...].
       margin_thr: () f32 zone-0 seed margin (margin * sensor_height).
       comm: FrameComm — reduce_patches / merge_lpr_table are the only
         cross-shard movement.
 
     Returns:
-      (SPAD, OUT_COLS) f32 per-patch result table (fit_kernel OUT_* layout).
+      (spad, OUT_COLS) f32 per-patch result table (fit_kernel OUT_* layout).
+      ``spad`` is the padded patch-space width (geom.spad; 512 default CZM).
     """
     p = params
     nt = xs.shape[0]
@@ -189,7 +191,7 @@ def tiled_fit(
 
     proc_p = gates_p[:, 0:1]
     zone0_p = (
-        jax.lax.broadcasted_iota(jnp.int32, (SPAD, 1), 0) < num_zone0_patches
+        jax.lax.broadcasted_iota(jnp.int32, (spad, 1), 0) < num_zone0_patches
     )
     gt = patch_lookup(
         jnp.concatenate(
@@ -202,11 +204,11 @@ def tiled_fit(
     zone0_t = gt[:, 4:5]
 
     active = valid_f * proc_t
-    plane = jnp.zeros((SPAD, 14), jnp.float32)
+    plane = jnp.zeros((spad, 14), jnp.float32)
     alive = proc_p
-    snaps = [jnp.zeros((SPAD, 5), jnp.float32) for _ in range(3)]
-    g_count = jnp.zeros((SPAD, 1), jnp.float32)
-    final_tab = jnp.zeros((SPAD, 4), jnp.float32)
+    snaps = [jnp.zeros((spad, 5), jnp.float32) for _ in range(3)]
+    g_count = jnp.zeros((spad, 1), jnp.float32)
+    final_tab = jnp.zeros((spad, 4), jnp.float32)
 
     for i in range(npasses):
         gate = alive if gate_alive[i] else proc_p
@@ -251,8 +253,8 @@ def tiled_fit(
                 )  # (NT, num_lpr)
                 occ = jnp.sum(sel.astype(jnp.float32), axis=1)
                 loc = _reduce_tiles_split3(
-                    jnp.concatenate([zslots, occ, m_t], axis=1), tpc
-                )  # (SPAD, 2*num_lpr + 1)
+                    jnp.concatenate([zslots, occ, m_t], axis=1), tpc, spad
+                )  # (spad, 2*num_lpr + 1)
                 lpr_sum, lpr_cnt = comm.merge_lpr_table(
                     loc[:, :num_lpr],
                     loc[:, num_lpr : 2 * num_lpr],
@@ -271,7 +273,7 @@ def tiled_fit(
                     ],
                     axis=1,
                 )
-                tot = _reduce_tiles_split3(per, tpc)  # (SPAD, 2)
+                tot = _reduce_tiles_split3(per, tpc, spad)  # (spad, 2)
                 cnt = tot[:, 1:2]
                 lpr_p = jnp.where(
                     cnt > 0, tot[:, 0:1] / jnp.maximum(cnt, 1.0), 0.0
@@ -297,7 +299,7 @@ def tiled_fit(
 
         momp = comm.reduce_patches(
             _reduce_tiles_split3(
-                _tile_moments(xs, ys, zs, sx, sy, sz, mask), tpc
+                _tile_moments(xs, ys, zs, sx, sy, sz, mask), tpc, spad
             )
         )
         if kind[i] == K_FITDIST and final[i]:
@@ -320,7 +322,7 @@ def tiled_fit(
             )
             alive = vert
 
-    zero = jnp.zeros((SPAD, 1), jnp.float32)
+    zero = jnp.zeros((spad, 1), jnp.float32)
     # [normal(3), d, mean(3), n, gcount, cov(6), pad, snaps(15), carry2(4), pad]
     out = jnp.concatenate(
         [
@@ -333,9 +335,9 @@ def tiled_fit(
             zero,                    # col 15 pad
             snaps[0], snaps[1], snaps[2],  # OUT_SNAP (16:31)
             final_tab,               # OUT_CARRY2 (31:35)
-            jnp.zeros((SPAD, OUT_COLS - 35), jnp.float32),
+            jnp.zeros((spad, OUT_COLS - 35), jnp.float32),
         ],
         axis=1,
     )
-    assert out.shape == (SPAD, OUT_COLS)
+    assert out.shape == (spad, OUT_COLS)
     return out

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from patchworkpp_tpu.params import CZMGeometry, Params
 from patchworkpp_tpu.pipeline import FrameComm, FrameResult, make_frame_fn
-from patchworkpp_tpu.ops.onehot import SPAD, patch_reduce
+from patchworkpp_tpu.ops.onehot import patch_reduce
 from patchworkpp_tpu.ops.segments import SortedPoints, segment_rank
 from patchworkpp_tpu.state import AdaptiveState
 
@@ -80,9 +80,11 @@ class MeshComm(FrameComm):
         ro = jnp.where(
             take[:, None] & (rank[:, None] == riota[None, :]), 1.0, 0.0
         )  # (P, num_lpr) rank one-hot
+        width = sp.start.shape[0] - 1  # patch-space width (geom.spad)
         red = patch_reduce(
-            jnp.concatenate([ro * sp.z[:, None], ro], axis=1), sp.patch_id
-        )  # (SPAD, 2*num_lpr): [z at each rank slot | slot occupancy]
+            jnp.concatenate([ro * sp.z[:, None], ro], axis=1), sp.patch_id,
+            width,
+        )  # (width, 2*num_lpr): [z at each rank slot | slot occupancy]
         dense = jnp.where(
             red[:, num_lpr:] > 0.5, red[:, :num_lpr], jnp.inf
         )
@@ -95,7 +97,7 @@ class MeshComm(FrameComm):
         #    the same summation order as the single-device path.
         elig_f = jnp.where(elig, 1.0, 0.0)
         cnt = jax.lax.psum(
-            patch_reduce(elig_f[:, None], sp.patch_id)[:, 0], self.axis
+            patch_reduce(elig_f[:, None], sp.patch_id, width)[:, 0], self.axis
         )
         k = jnp.minimum(cnt, float(num_lpr))
         take_k = (

@@ -101,6 +101,16 @@ class CZMGeometry:
     num_patches: int                   # total patches (504 w/ defaults)
     num_concentric_rings: int          # total rings across zones (14)
 
+    @property
+    def spad(self) -> int:
+        """Padded patch-space width for this geometry: num_patches + 1
+        overflow bucket, rounded up to a 128-lane multiple, floored at the
+        kernels' native 512 (the reference accepts ANY ring/sector vectors —
+        patchworkpp.h:104-134 — so the patch space must scale with them; the
+        default 504-patch CZM keeps the historical 512)."""
+        need = self.num_patches + 1
+        return max(512, -(-need // 128) * 128)
+
     @staticmethod
     def create(params: Params) -> "CZMGeometry":
         p = params

@@ -80,7 +80,8 @@ class FrameResult(NamedTuple):
 
 class StaticTables(NamedTuple):
     """Host-precomputed per-patch constants (closed over as jit constants).
-    All padded to the SPAD-wide patch space (504 patches + overflow + pad)."""
+    All padded to the geometry's ``spad``-wide patch space (num_patches +
+    overflow + lane pad; 512 for the default 504-patch CZM)."""
 
     zone: np.ndarray        # (S,) int32 zone of each patch
     cring: np.ndarray       # (S,) int32 concentric ring (0..13); pad -> 14
@@ -91,24 +92,26 @@ class StaticTables(NamedTuple):
 
 
 def build_static_tables(params: Params, geom: CZMGeometry) -> StaticTables:
+    """Patch space scales with the CZM: any ring/sector vectors work, as in
+    the reference ctor (patchworkpp.h:104-134) — geom.spad rounds
+    num_patches + 1 up to a lane multiple (512 for the default CZM)."""
     p = params
     npz = geom.num_patches
-    if npz > SPAD - 1:
+    spad = geom.spad
+    if npz > 65536:
         raise ValueError(
-            f"CZM has {npz} patches; this build supports at most {SPAD - 1} "
-            f"(the SPAD={SPAD} patch space reserves one overflow bucket; the "
-            "reference geometry uses 504). Reduce num_rings_each_zone / "
-            "num_sectors_each_zone."
+            f"CZM has {npz} patches; refusing configs past 65536 (the dense "
+            "per-patch tables and one-hot movement would dwarf the points)"
         )
-    zone = np.full(SPAD, p.num_zones - 1, np.int32)
+    zone = np.full(spad, p.num_zones - 1, np.int32)
     zone[:npz] = geom.patch_zone()
-    cring = np.full(SPAD, geom.num_concentric_rings, np.int32)
+    cring = np.full(spad, geom.num_concentric_rings, np.int32)
     cring[:npz] = geom.patch_concentric_ring()
 
     # Static per-patch centering offset: the patch's geometric center at the
     # nominal ground height. Only used to keep f32 covariance well conditioned;
     # any fixed offset is semantically neutral.
-    shift = np.zeros((SPAD, 3), np.float32)
+    shift = np.zeros((spad, 3), np.float32)
     sector = geom.patch_sector()
     lo = np.asarray(geom.min_ranges)
     for pid in range(npz):
@@ -168,7 +171,12 @@ class FrameComm:
         """(sum, count) of each patch's num_lpr globally-lowest eligible z."""
         rank = segment_rank(elig, sp)
         tf = jnp.where(elig & (rank < num_lpr), 1.0, 0.0)
-        sums = patch_reduce(jnp.stack([sp.z * tf, tf], axis=1), sp.patch_id)
+        # sp.start is (spad + 1,): recover the patch-space width from it so
+        # the stats table matches the caller's geometry (any CZM size).
+        sums = patch_reduce(
+            jnp.stack([sp.z * tf, tf], axis=1), sp.patch_id,
+            sp.start.shape[0] - 1,
+        )
         return sums[:, 0], sums[:, 1]
 
     def merge_lpr_table(self, z_at_rank, occ, elig_cnt, num_lpr: int):
@@ -207,7 +215,8 @@ def _fit_planes(
     qx, qy, qz = q
     mom = comm.reduce_patches(
         patch_reduce(
-            masked_moment_features_cols(qx, qy, qz, mask_f), sp.patch_id
+            masked_moment_features_cols(qx, qy, qz, mask_f), sp.patch_id,
+            shift.shape[0],
         )
     )
     n, mean, cov = moments_to_mean_cov(mom, shift)
@@ -398,6 +407,13 @@ def make_frame_fn(
         )
     tables = build_static_tables(p, geom)
     npz = geom.num_patches
+    spad = geom.spad
+    if spad != SPAD and fused in ("grid", "grid_iota", "onehot"):
+        raise ValueError(
+            f"fused={fused!r} is a Pallas kernel compiled for the native "
+            f"{SPAD}-patch space, but this CZM needs spad={spad} "
+            f"({npz} patches); use fused='tiled' (default) or fused=False"
+        )
 
     # The batched FIFO append (_write_at) drops writes that would run past
     # BUF_CAP; that is unreachable only while the post-trim count stays
@@ -418,7 +434,7 @@ def make_frame_fn(
     zone_tab = jnp.asarray(tables.zone)
     cring_tab = jnp.asarray(tables.cring)
     shift_tab = jnp.asarray(tables.shift)
-    sid = jnp.arange(SPAD, dtype=jnp.int32)
+    sid = jnp.arange(spad, dtype=jnp.int32)
 
 
     def _finalize(
@@ -469,7 +485,7 @@ def make_frame_fn(
             ring_acc = ring_acc.at[ci, :s].set(accept[a:b])
             ring_elev = ring_elev.at[ci, :s].set(elevation[a:b])
 
-        revert_patch = jnp.zeros(SPAD, bool)
+        revert_patch = jnp.zeros(spad, bool)
         if p.enable_TGR:
             # All rings at once: the only loop-carried value in the
             # reference's per-ring revert (:291-304) is which rings' accepted
@@ -583,7 +599,7 @@ def make_frame_fn(
         # ---- global (patch, z) sort (C5) ----
         with jax.named_scope("stage_sort"):
             sp = sort_by_patch(
-                points[:, 0], points[:, 1], points[:, 2], pid_o, SPAD
+                points[:, 0], points[:, 1], points[:, 2], pid_o, spad
             )
         counts = comm.reduce_patches(patch_counts(sp))
         processed = (counts >= p.num_min_pts) & (sid < npz)
@@ -596,11 +612,11 @@ def make_frame_fn(
         active = patch_lookup(proc_f[:, None], pid_s)[:, 0] > 0.5
 
         carry = _PlaneCarry(
-            n=jnp.zeros(SPAD, jnp.float32),
-            mean=jnp.zeros((SPAD, 3), jnp.float32),
-            normal=jnp.zeros((SPAD, 3), jnp.float32),
-            d=jnp.zeros(SPAD, jnp.float32),
-            svals=jnp.zeros((SPAD, 3), jnp.float32),
+            n=jnp.zeros(spad, jnp.float32),
+            mean=jnp.zeros((spad, 3), jnp.float32),
+            normal=jnp.zeros((spad, 3), jnp.float32),
+            d=jnp.zeros(spad, jnp.float32),
+            svals=jnp.zeros((spad, 3), jnp.float32),
         )
 
         # Saved per-iteration plane tables for the original-order label pass.
@@ -651,7 +667,7 @@ def make_frame_fn(
             )
             carry, _ = _fit_planes(carry, sp, q, seeds_f, processed, shift_tab, comm)
             g_f = jnp.zeros(points.shape[0], jnp.float32)
-            g_count = jnp.zeros(SPAD, jnp.float32)
+            g_count = jnp.zeros(spad, jnp.float32)
             final_plane_tab = None
             for i in range(p.num_iter):
                 plane_tab = jnp.concatenate([carry.normal, carry.d[:, None]], axis=1)
@@ -694,10 +710,11 @@ def make_frame_fn(
                 xyz_o,
                 pid_o,
                 counts=(
-                    factored_patch_counts(bins, geom)
+                    factored_patch_counts(bins, geom, spad)
                     if supports_factored_counts(geom)
                     else None  # exotic CZM: generic one-hot counts
                 ),
+                width=spad,
             )
         counts = comm.reduce_patches(tp.counts)
         processed = (counts >= p.num_min_pts) & (sid < npz)
@@ -708,7 +725,7 @@ def make_frame_fn(
         ys = tp.xyz[:, 1].reshape(nt, 128)
         zs = tp.xyz[:, 2].reshape(nt, 128)
         valid_f = tp.valid.astype(jnp.float32).reshape(nt, 128)
-        tile_patch = jnp.minimum(tp.tile_patch, SPAD - 1).reshape(nt, 1)
+        tile_patch = jnp.minimum(tp.tile_patch, spad - 1).reshape(nt, 1)
 
         # Col 4 carries the zone-0 flag so tile-level kernels can read it
         # from the per-tile gates lookup (sentinel tiles clamp to patch
@@ -718,7 +735,7 @@ def make_frame_fn(
         gates = jnp.concatenate(
             [
                 proc_f[:, None], shift_tab, zone0_f[:, None],
-                jnp.zeros((SPAD, 3), jnp.float32),
+                jnp.zeros((spad, 3), jnp.float32),
             ],
             axis=1,
         )
@@ -735,6 +752,7 @@ def make_frame_fn(
                     xs, ys, zs, valid_f, tile_patch, gates,
                     margin_thr, params=p,
                     num_zone0_patches=tables.num_zone0, comm=comm,
+                    spad=spad,
                 )
                 out = jnp.where(counts[:, None] > 0, out, 0.0)
         elif fused == "onehot":

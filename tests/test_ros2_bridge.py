@@ -20,10 +20,16 @@ import numpy as np
 import pytest
 
 
+class _FakeField:
+    def __init__(self, name):
+        self.name = name
+
+
 class _FakePointCloud2:
-    def __init__(self, pts=None, header=None):
+    def __init__(self, pts=None, header=None, field_names=("x", "y", "z")):
         self._pts = pts
         self.header = header
+        self.fields = [_FakeField(n) for n in field_names]
 
 
 class _FakeParameter:
@@ -222,6 +228,51 @@ def test_bridge_round_trip(bridge, scans):
         node.server.stop()
 
 
+def test_bridge_intensity_enables_rnr(bridge, scans):
+    """Capability EXCESS over the reference: an intensity-bearing
+    PointCloud2 runs RNR in the bridge (the reference forces enable_RNR
+    off because Utils.hpp never reads intensity — cpp:47). The published
+    ground cloud must equal the core engine's RNR-active labels on the
+    (N, 4) cloud, and differ from the RNR-off labels when the scan
+    contains RNR-triggerable noise points."""
+    from patchworkpp_tpu.models import PatchworkPP
+    from patchworkpp_tpu.params import Params
+
+    pts4 = scans["000000"][::SUB].astype(np.float32).copy()
+    # Plant guaranteed RNR noise: far below the sensor, steep vertical
+    # angle, low intensity (reference reflected_noise_removal :377-400).
+    # r must be INSIDE (min_range, max_range): an under-min_range point is
+    # nonground either way and would not distinguish RNR on/off.
+    pts4[:4] = [
+        [3.1, 0.0, -3.4, 0.05],
+        [0.0, 3.6, -3.6, 0.01],
+        [-2.9, 0.9, -3.5, 0.10],
+        [2.5, -2.5, -3.3, 0.0],
+    ]
+
+    want_on = PatchworkPP(Params(enable_RNR=True)).estimate_ground(pts4)
+    want_off = PatchworkPP(Params(enable_RNR=False)).estimate_ground(pts4)
+    assert not np.array_equal(
+        np.asarray(want_on.ground_mask), np.asarray(want_off.ground_mask)
+    ), "fixture must actually exercise RNR"
+
+    node = bridge.PatchworkppNode()
+    try:
+        msg = _FakePointCloud2(
+            pts4, _Header(), field_names=("x", "y", "z", "intensity")
+        )
+        pubs = {p.topic: p for p in node.publishers}
+        node._on_cloud(msg)
+        deadline = time.time() + 120.0
+        while time.time() < deadline and not pubs["/patchworkpp/ground"].messages:
+            time.sleep(0.05)
+        g = pubs["/patchworkpp/ground"].messages[0]._pts
+        gm = np.asarray(want_on.ground_mask)[: len(pts4)]
+        np.testing.assert_allclose(g, pts4[gm][:, :3])
+    finally:
+        node.server.stop()
+
+
 def test_bridge_qos_and_params_match_reference(bridge):
     """Field-for-field QoS/param parity with the reference node
     (ros/src/GroundSegmentationServer.cpp:30-69): SensorDataQoS on the
@@ -240,12 +291,14 @@ def test_bridge_qos_and_params_match_reference(bridge):
             assert q.durability == _Dur.TRANSIENT_LOCAL, topic
             assert q.depth == 10, topic
 
-        # the reference's declared parameter set (cpp:28-44), incl. verbose
+        # the reference's declared parameter set (cpp:28-44), incl. verbose,
+        # plus enable_RNR (capability excess: intensity IS wired here)
         assert set(node.declared_params) == {
             "verbose", "sensor_height", "num_iter", "num_lpr", "num_min_pts",
             "th_seeds", "th_dist", "th_seeds_v", "th_dist_v", "max_range",
-            "min_range", "uprightness_thr", "base_frame",
+            "min_range", "uprightness_thr", "base_frame", "enable_RNR",
         }
+        assert node.declared_params["enable_RNR"] is True
         assert node.declared_params["verbose"] is False
         assert node.server.params.verbose is False
     finally:
