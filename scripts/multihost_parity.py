@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""Multi-process (DCN-path) exact-parity gate: jax.distributed over >= 2
+OS processes, each owning a slice of the device mesh.
+
+All other sharding gates in this repo (tests/test_sharded.py, the dryrun)
+run a SINGLE process with 8 virtual CPU devices — they exercise the
+collectives but not the multi-controller machinery (process-spanning mesh
+construction, per-process data feeding via global jax.Arrays, cross-process
+coordination). This script exercises exactly that, without a cluster:
+
+  parent            spawns N workers of itself (subprocess, same host)
+  worker i          JAX_PLATFORMS=cpu + xla_force_host_platform_device_count
+                    = devices/N, then jax.distributed.initialize(
+                    127.0.0.1:<port>, num_processes=N, process_id=i) ->
+                    one global mesh spanning both processes.
+
+Gated configurations (all zero-tolerance):
+  point-sharded     the frame's points row-sharded over the global mesh
+                    (per-shard engine: the tiled fit program; cross-shard
+                    LPR merge + fixed-order moment reduction ride the
+                    process boundary — the DCN analog of ICI collectives)
+  sequential        the point-sharded chain with adapted state carried
+                    across frames
+  frame-parallel    one independent stream per device (B = global devices)
+
+--quick (the CI/test mode) subsamples the scans and checks the
+multi-process results against an in-run single-device run of the SAME
+engine (multi-process == single-process, the invariant this script owns).
+The default full mode runs the 12 full-resolution golden configurations
+(6 fresh + 6 sequential) against golden/reference_ground_indices.npz —
+the same bar as scripts/tpu_parity.py.
+
+The reference has no counterpart (single-thread C++,
+cpp/patchworkpp/src/patchworkpp.cpp:1-4); SURVEY.md §4c calls for
+multi-host tests without a cluster, and BASELINE.json's north star demands
+the N >= 2 host axis actually be exercised.
+
+Usage:
+  python scripts/multihost_parity.py              # 2 procs x 4 devs, full 12/12
+  python scripts/multihost_parity.py --quick      # subsampled, CI-sized
+  python scripts/multihost_parity.py --num-processes 4 --devices-per-process 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA_DIR = os.environ.get("PPK_DATA_DIR", "/root/reference/data")
+GOLDEN = os.path.join(REPO, "golden", "reference_ground_indices.npz")
+
+
+def _parse(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--devices-per-process", type=int, default=4)
+    ap.add_argument("--quick", action="store_true",
+                    help="subsampled scans, engine-vs-single-device check "
+                         "(CI mode; full mode gates 12/12 full-res golden)")
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--process-id", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=None, help=argparse.SUPPRESS)
+    return ap.parse_args(argv)
+
+
+# --------------------------------------------------------------------------
+# parent: spawn N copies of this script as coordinated workers
+# --------------------------------------------------------------------------
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def parent(args) -> int:
+    port = _free_port()
+    procs = []
+    for i in range(args.num_processes):
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--worker",
+            "--process-id", str(i), "--port", str(port),
+            "--num-processes", str(args.num_processes),
+            "--devices-per-process", str(args.devices_per_process),
+        ] + (["--quick"] if args.quick else [])
+        env = dict(os.environ)
+        procs.append(subprocess.Popen(
+            cmd, env=env,
+            stdout=None if i == 0 else subprocess.PIPE,
+            stderr=subprocess.STDOUT if i != 0 else None,
+            text=True,
+        ))
+    rcs = []
+    for i, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=3600)
+        rcs.append(pr.returncode)
+        if pr.returncode != 0 and i != 0 and out:
+            sys.stderr.write(f"--- worker {i} output ---\n{out}\n")
+    ok = all(rc == 0 for rc in rcs)
+    print(json.dumps({
+        "multihost_parity": "PASS" if ok else "FAIL",
+        "num_processes": args.num_processes,
+        "devices_per_process": args.devices_per_process,
+        "mode": "quick" if args.quick else "full-golden",
+        "worker_rcs": rcs,
+    }))
+    return 0 if ok else 1
+
+
+# --------------------------------------------------------------------------
+# worker: one jax.distributed process
+# --------------------------------------------------------------------------
+
+def worker(args) -> int:
+    # Force the virtual CPU devices BEFORE any backend/device query (a
+    # sitecustomize may have imported jax already; the config update wins
+    # while no devices have been queried — same pattern as tests/conftest).
+    # REPLACE any inherited device-count flag (e.g. the test conftest's 8):
+    # each worker must own exactly devices_per_process local devices.
+    import re
+
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        os.environ.get("XLA_FLAGS", ""),
+    )
+    os.environ["XLA_FLAGS"] = (
+        flags
+        + f" --xla_force_host_platform_device_count={args.devices_per_process}"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{args.port}",
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, REPO)
+    from patchworkpp_tpu.params import Params
+    from patchworkpp_tpu.state import init_state
+    from patchworkpp_tpu.parallel.sharded import (
+        batch_init_state,
+        make_batch_frame_fn,
+        make_point_sharded_frame_fn,
+    )
+
+    pid = args.process_id
+    ndev = args.num_processes * args.devices_per_process
+    devs = jax.devices()
+    assert len(devs) == ndev, (len(devs), ndev)
+    assert len(jax.local_devices()) == args.devices_per_process
+    mesh = Mesh(np.asarray(devs), ("point",))
+
+    def log(msg):
+        if pid == 0:
+            print(msg, flush=True)
+
+    log(f"[multihost] {args.num_processes} processes x "
+        f"{args.devices_per_process} devices = {ndev}-device global mesh "
+        f"({'quick' if args.quick else 'full golden'})")
+
+    sub = 16 if args.quick else 1
+    cap = 8192 if args.quick else 131072
+    names = [f"{i:06d}" for i in range(2 if args.quick else 6)]
+    scans = {
+        n: np.fromfile(
+            os.path.join(DATA_DIR, f"{n}.bin"), np.float32
+        ).reshape(-1, 4)[::sub].copy()
+        for n in names
+    }
+
+    p = Params()
+    shard = NamedSharding(mesh, P("point"))
+    repl = NamedSharding(mesh, P())
+
+    def to_global(x, sharding):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    def pad(c):
+        out = np.zeros((cap, 4), np.float32)
+        out[: len(c)] = c
+        return out
+
+    def g_state(st, sharding=repl):
+        return jax.tree.map(lambda x: to_global(x, sharding), st)
+
+    failures = 0
+
+    def check(tag, got_mask_global, want_rows):
+        """Compare this process's addressable rows of the global mask."""
+        nonlocal failures
+        mism = 0
+        for sh in got_mask_global.addressable_shards:
+            got = np.asarray(sh.data)
+            want = want_rows[sh.index]
+            mism += int((got != want).sum())
+        status = "PASS" if mism == 0 else f"FAIL ({mism} mismatches)"
+        print(f"[worker {pid}] {tag}: {status}", flush=True)
+        failures += mism != 0
+
+    # ---- expected labels ----
+    if args.quick:
+        # single-device run of the SAME engine in this process = the oracle
+        # for multi-process execution (multi-process == single-process).
+        from patchworkpp_tpu.models import PatchworkPP
+
+        exp_fresh, exp_seq = {}, {}
+        m = PatchworkPP(p, capacity=cap)
+        for n in names:
+            exp_fresh[n] = np.zeros(cap, bool)
+            exp_fresh[n][: len(scans[n])] = np.asarray(
+                PatchworkPP(p, capacity=cap).estimate_ground(scans[n]).ground_mask
+            )
+            exp_seq[n] = np.zeros(cap, bool)
+            exp_seq[n][: len(scans[n])] = np.asarray(
+                m.estimate_ground(scans[n]).ground_mask
+            )
+    else:
+        gold = np.load(GOLDEN)
+        exp_fresh, exp_seq = {}, {}
+        for n in names:
+            for tagd, d in (("fresh", exp_fresh), ("seq", exp_seq)):
+                mask = np.zeros(cap, bool)
+                mask[gold[f"{tagd}_{n}"]] = True
+                d[n] = mask
+
+    # ---- 1) point-sharded, fresh state per scan ----
+    fn = make_point_sharded_frame_fn(p, mesh, axis="point")
+    for n in names:
+        _, res = fn(
+            g_state(init_state(p)),
+            to_global(pad(scans[n]), shard),
+            to_global(np.int32(len(scans[n])), repl),
+        )
+        check(f"point-sharded fresh {n}", res.ground_mask, exp_fresh[n])
+
+    # ---- 2) point-sharded sequential chain (adapted state across frames) --
+    st = g_state(init_state(p))
+    for n in names:
+        st, res = fn(
+            st,
+            to_global(pad(scans[n]), shard),
+            to_global(np.int32(len(scans[n])), repl),
+        )
+        check(f"point-sharded seq   {n}", res.ground_mask, exp_seq[n])
+
+    # ---- 3) frame-parallel: one stream per device across both processes --
+    fmesh = Mesh(np.asarray(devs), ("frame",))
+    bfn = make_batch_frame_fn(p, fmesh, axis="frame")
+    fshard = NamedSharding(fmesh, P("frame"))
+    bnames = [names[i % len(names)] for i in range(ndev)]
+    stack = np.stack([pad(scans[n]) for n in bnames])
+    nrow = np.asarray([len(scans[n]) for n in bnames], np.int32)
+    sts = jax.tree.map(
+        lambda x: to_global(x, fshard), batch_init_state(p, ndev)
+    )
+    _, bres = bfn(sts, to_global(stack, fshard), to_global(nrow, fshard))
+    want = np.stack([exp_fresh[n] for n in bnames])
+    check("frame-parallel batch", bres.ground_mask, want)
+
+    jax.distributed.shutdown()
+    return 1 if failures else 0
+
+
+def main() -> int:
+    args = _parse()
+    if args.worker:
+        return worker(args)
+    return parent(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

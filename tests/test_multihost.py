@@ -1,0 +1,58 @@
+"""Multi-process (multi-controller) parity: spawn scripts/multihost_parity.py.
+
+The rest of the sharding suite runs ONE process with 8 virtual devices;
+this test actually exercises jax.distributed — a 2-process coordination
+service, a process-spanning mesh, per-process global-array feeding, and
+collectives that cross the OS-process boundary (the DCN analog). SURVEY.md
+§4c; reference has no counterpart (single-thread C++).
+
+The subprocesses manage their own jax config (JAX_PLATFORMS=cpu + 4 virtual
+devices each), independent of this process's conftest-pinned platform.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "multihost_parity.py")
+DATA = os.environ.get("PPK_DATA_DIR", "/root/reference/data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(DATA, "000000.bin")),
+    reason="KITTI fixture scans absent (PPK_DATA_DIR)",
+)
+
+
+def test_multihost_quick_parity():
+    """2 processes x 4 devices: point-sharded (fresh + sequential) and
+    frame-parallel results over the process-spanning mesh must equal the
+    single-device engine exactly (subsampled CI mode)."""
+    proc = subprocess.run(
+        [sys.executable, SCRIPT, "--quick"],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, (
+        f"multihost parity failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}"
+    )
+    assert '"multihost_parity": "PASS"' in proc.stdout
+
+
+@pytest.mark.slow
+def test_multihost_full_golden():
+    """Full-resolution 12/12 golden gate across 2 processes (the same
+    exactness bar as the single-process slow gate, through jax.distributed)."""
+    proc = subprocess.run(
+        [sys.executable, SCRIPT],
+        capture_output=True, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, (
+        f"multihost golden parity failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}"
+    )
+    assert '"multihost_parity": "PASS"' in proc.stdout

