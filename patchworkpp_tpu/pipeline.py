@@ -552,7 +552,13 @@ def make_frame_fn(
         # Transposed-output lookup: lk rows are full-lane (P,) vectors, so
         # the replay math below runs at 128/128 lane utilization instead of
         # minor-dim-3 slices of a (P, 17) array (measured ~45 us/frame per
-        # minor-dim-4 elementwise op at P=131k).
+        # minor-dim-4 elementwise op at P=131k). The 12 R-VPF columns ride
+        # the SAME spad-wide lookup deliberately: splitting them onto a
+        # narrow 64-row zone-0 table (one extra (P, 64) one-hot + K=64 dot
+        # + sentinel clamp) measured stage_gle_tail 0.106 -> 0.113 ms and
+        # wall 1650 -> 1642 scans/s on chip (round 4) — the wide lookup's
+        # marginal columns are cheaper than a second movement op, the same
+        # lesson as the gated factored lookup (ops/onehot.py).
         lk = patch_lookup_cols(label_tab, pid_o)  # (17, P)
         x_o, y_o, z_o = xyz_cols
 
