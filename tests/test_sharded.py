@@ -120,6 +120,23 @@ def test_point_sharded_unfused_exact(mesh8, scans, single_results):
     np.testing.assert_array_equal(got, single_results[name])
 
 
+def test_point_sharded_large_czm_exact(mesh8, scans):
+    """A >511-patch CZM (geom.spad > 512, round-4 cap lift) through the
+    8-device point-sharded program: the spad-threaded patch space must
+    flow through MeshComm's LPR merge and fixed-order moment reductions —
+    labels exactly equal to the single-device engine on the same config."""
+    p = Params(num_sectors_each_zone=(16, 32, 64, 64))
+    name = "000002"
+    cloud = scans[name][::SUB]
+    want = np.asarray(
+        PatchworkPP(p, capacity=CAPACITY).estimate_ground(cloud).ground_mask
+    )
+    fn = make_point_sharded_frame_fn(p, mesh8, axis="d")
+    _, res = fn(init_state(p), jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
+    got = np.asarray(res.ground_mask)[: len(cloud)]
+    np.testing.assert_array_equal(got, want[: len(cloud)])
+
+
 def test_point_sharded_1device_mesh_exact(scans, single_results):
     """A 1-device mesh takes the plain-jit bypass (point_sharded
     ._single_device — SPMD-compiled executables cost seconds per dispatch
