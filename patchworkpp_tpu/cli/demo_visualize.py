@@ -28,7 +28,13 @@ def save_png(engine, out_path: str, title: str = "") -> None:
     Two panels: top-down (x, y) and side (x, z), subsampled for file size;
     normals drawn as short yellow segments at the patch centers (the
     reference visualizes them via Open3D point normals)."""
-    import matplotlib
+    try:
+        import matplotlib
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "--save needs matplotlib (pip install matplotlib); the Open3D "
+            "window path and the text summary do not"
+        ) from e
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

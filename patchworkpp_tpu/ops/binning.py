@@ -93,6 +93,16 @@ def bin_points(
 
     valid = jnp.arange(n, dtype=jnp.int32) < npts
 
+    # Concrete instance of the boundary-ulp risk, measured on scan 000003
+    # @ SUB=8 (point (12.200262, 12.115223), f64 r = 17.19374948..., zone-1
+    # ring edge exactly 17.19375): XLA:CPU's jit-compiled f32 sqrt is one
+    # ulp above the correctly-rounded value (vectorized approximation;
+    # optimization_barrier does not change it), putting the point one ring
+    # up vs the f64 oracle and dropping a 10-point patch below num_min_pts.
+    # Unfixable at f32 (and f64 is emulated on TPU); tests detect
+    # boundary-straddling runs by comparing engine vs oracle patch ids and
+    # scope oracle-parity assertions to runs where the binning agrees
+    # (tests/test_pipeline_golden.py::test_param_matrix_*).
     r = jnp.sqrt(x * x + y * y)
 
     if p.enable_RNR:

@@ -70,6 +70,23 @@ from patchworkpp_tpu.ops.pallas.fit_kernel_grid import (
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+
+def out_layout(params: Params):
+    """(snap_off, carry2_off, out_cols) of the per-patch result table.
+
+    The canonical 48-col layout (fit_kernel.OUT_*) holds exactly 3 R-VPF
+    snapshots — enough for the default num_iter=3. The reference accepts any
+    num_iter (patchworkpp.h:85), so for num_iter > 3 with R-VPF enabled the
+    tiled engine extends the snapshot region and shifts the carry2 block;
+    the Pallas kernels keep the fixed layout and are gated to num_iter <= 3
+    (pipeline.make_frame_fn raises).
+    """
+    nsnap = params.num_iter if params.enable_RVPF else 0
+    if nsnap <= 3:
+        return OUT_SNAP, OUT_CARRY2, OUT_COLS
+    carry2 = OUT_SNAP + 5 * nsnap
+    return OUT_SNAP, carry2, carry2 + 4
+
 # Per-call-site barrier counter, same role as onehot._SITE: keep each
 # one-hot's iota structurally distinct so XLA fuses it into its consumer
 # dot instead of CSE-sharing (a shared (NT, SPAD) one-hot gets materialized
@@ -206,7 +223,8 @@ def tiled_fit(
     active = valid_f * proc_t
     plane = jnp.zeros((spad, 14), jnp.float32)
     alive = proc_p
-    snaps = [jnp.zeros((spad, 5), jnp.float32) for _ in range(3)]
+    nsnap = max(3, p.num_iter if p.enable_RVPF else 0)
+    snaps = [jnp.zeros((spad, 5), jnp.float32) for _ in range(nsnap)]
     g_count = jnp.zeros((spad, 1), jnp.float32)
     final_tab = jnp.zeros((spad, 4), jnp.float32)
 
@@ -323,7 +341,11 @@ def tiled_fit(
             alive = vert
 
     zero = jnp.zeros((spad, 1), jnp.float32)
-    # [normal(3), d, mean(3), n, gcount, cov(6), pad, snaps(15), carry2(4), pad]
+    # [normal(3), d, mean(3), n, gcount, cov(6), pad, snaps(5*nsnap),
+    #  carry2(4), pad] — the canonical 48-col layout when nsnap == 3
+    # (out_layout extends it for num_iter > 3).
+    snap_off, carry2_off, out_cols = out_layout(p)
+    assert carry2_off == snap_off + 5 * nsnap or nsnap == 3
     out = jnp.concatenate(
         [
             plane[:, 0:3],           # OUT_NORMAL
@@ -333,11 +355,11 @@ def tiled_fit(
             g_count,                 # OUT_GCOUNT
             plane[:, 5:11],          # OUT_COV
             zero,                    # col 15 pad
-            snaps[0], snaps[1], snaps[2],  # OUT_SNAP (16:31)
-            final_tab,               # OUT_CARRY2 (31:35)
-            jnp.zeros((spad, OUT_COLS - 35), jnp.float32),
+            *snaps,                  # snap_off : snap_off + 5*nsnap
+            final_tab,               # carry2_off : carry2_off + 4
+            jnp.zeros((spad, out_cols - (16 + 5 * nsnap + 4)), jnp.float32),
         ],
         axis=1,
     )
-    assert out.shape == (spad, OUT_COLS)
+    assert out.shape == (spad, out_cols)
     return out

@@ -74,6 +74,16 @@ class _PlaneState:
         self.mean = np.zeros(3, np.float32)
         self.svals = np.zeros(3, np.float32)
         self.d = np.float64(0.0)
+        # Determinacy diagnostics. A fit of EXACTLY 2 points has a rank-1
+        # covariance whose null-space eigenvector is solver-arbitrary, so
+        # oracle-vs-engine label parity is undefined for runs where one
+        # occurs (the documented subsampled-cloud caveat,
+        # tests/test_fused_kernel.py). 1-point fits are NOT indeterminate:
+        # their NaN covariance propagates to decision-identical NaN/sentinel
+        # planes on both sides (test-enforced containment). Runs with
+        # two_point_fits == 0 are determinate and must match exactly.
+        self.min_fit_pts: float = np.inf
+        self.two_point_fits: int = 0
 
     def estimate_plane(self, pts: np.ndarray) -> None:
         """PCA plane fit (reference patchworkpp.cpp:47-75). ``pts`` is (n,3) f32.
@@ -85,6 +95,8 @@ class _PlaneState:
         n = pts.shape[0]
         if n == 0:
             return
+        self.min_fit_pts = min(self.min_fit_pts, n)
+        self.two_point_fits += n == 2
         mean = pts.mean(axis=0, dtype=np.float32)
         centered = pts - mean
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -126,6 +138,21 @@ class _PlaneState:
 class NumpyPatchworkpp:
     """Stateful oracle with the same cross-frame adaptation as the reference."""
 
+    @property
+    def min_fit_pts(self) -> float:
+        """Smallest nonzero plane-fit population seen so far."""
+        return self._plane.min_fit_pts
+
+    @property
+    def two_point_fits(self) -> int:
+        """Number of plane fits that saw EXACTLY 2 points (rank-1
+        covariance, solver-arbitrary null vector). 0 means engine == oracle
+        label parity is well-defined and must be exact; > 0 flags the
+        documented indeterminate case (tests/test_fused_kernel.py).
+        1-point fits do NOT count: their NaN planes are decision-identical
+        on both sides (containment test-enforced)."""
+        return self._plane.two_point_fits
+
     def __init__(self, params: Optional[Params] = None) -> None:
         self.params = params or Params()
         p = self.params
@@ -146,6 +173,7 @@ class NumpyPatchworkpp:
 
         self._plane = _PlaneState()
         # Per-frame debug/parity artifacts.
+        # (self.min_fit_pts property below reports _plane.min_fit_pts.)
         self.centers: List[np.ndarray] = []
         self.normals: List[np.ndarray] = []
 
@@ -283,6 +311,10 @@ class NumpyPatchworkpp:
 
         noise = self._rnr_mask(cloud) if p.enable_RNR else np.zeros(n_pts, bool)
         patch_id, _ = self._czm_assign(cloud, excluded=noise)
+        # Exposed for tests: the f64 binning decision per point. The engine
+        # bins in f32 (documented boundary-ulp deviation, ops/binning.py);
+        # tests scope oracle-parity assertions to runs where the two agree.
+        self.last_patch_id = patch_id.copy()
 
         # Pre-split point rows per patch (scan order within patch, as emplaced).
         num_patches = sum(

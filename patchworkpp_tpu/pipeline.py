@@ -414,6 +414,16 @@ def make_frame_fn(
             f"{SPAD}-patch space, but this CZM needs spad={spad} "
             f"({npz} patches); use fused='tiled' (default) or fused=False"
         )
+    if (
+        fused in ("grid", "grid_iota", "onehot")
+        and p.enable_RVPF
+        and p.num_iter > 3
+    ):
+        raise ValueError(
+            f"fused={fused!r} is a Pallas kernel with a fixed 3-snapshot "
+            f"R-VPF output layout, but num_iter={p.num_iter} needs "
+            f"{p.num_iter}; use fused='tiled' (default) or fused=False"
+        )
 
     # The batched FIFO append (_write_at) drops writes that would run past
     # BUF_CAP; that is unreachable only while the post-trim count stays
@@ -799,16 +809,21 @@ def make_frame_fn(
         svals, _ = eigh3x3_descending(cov)
 
         # Per-iteration R-VPF snapshots: kernel layout [gate,nx,ny,nz,d] ->
-        # label-pass layout [nx,ny,nz,d,gate].
+        # label-pass layout [nx,ny,nz,d,gate]. Offsets via out_layout: the
+        # canonical fk.OUT_* for num_iter <= 3, extended for larger
+        # num_iter (tiled engine only; the Pallas kernels are gated above).
+        from patchworkpp_tpu.ops.tiled_fit import out_layout
+
+        snap_off, carry2_off, _ = out_layout(p)
         vpf_tables = []
         if p.enable_RVPF:
             for it in range(p.num_iter):
-                a = fk.OUT_SNAP + it * 5
+                a = snap_off + it * 5
                 snap = out[:, a : a + 5]
                 vpf_tables.append(
                     jnp.concatenate([snap[:, 1:5], snap[:, 0:1]], axis=1)
                 )
-        final_plane_tab = out[:, fk.OUT_CARRY2 : fk.OUT_CARRY2 + 4]
+        final_plane_tab = out[:, carry2_off : carry2_off + 4]
 
         with jax.named_scope("stage_gle_tail"):
             return _finalize(

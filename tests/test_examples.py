@@ -29,6 +29,7 @@ def test_demo_visualize_runs(capsys, monkeypatch):
 def test_demo_visualize_save_png(capsys, monkeypatch, tmp_path):
     # Headless "Demo Result" rendering (reference README's committed
     # pictures/ screenshot analog) — a real PNG must land at --save PATH.
+    pytest.importorskip("matplotlib")
     png = str(tmp_path / "demo.png")
     monkeypatch.setattr(sys, "argv", ["ppk-demo-visualize", "--save", png])
     from patchworkpp_tpu.cli import demo_visualize

@@ -62,6 +62,123 @@ def test_rvpf_tgr_disabled_matches_oracle(scans):
     np.testing.assert_array_equal(res.ground_mask, ref)
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(enable_RNR=False),
+        dict(enable_RVPF=False),
+        dict(enable_TGR=False),
+        dict(enable_RNR=False, enable_RVPF=False, enable_TGR=False),
+        dict(num_iter=2),
+        dict(num_iter=5),
+        dict(num_lpr=5),
+        dict(num_min_pts=40),
+        dict(th_seeds=0.3, th_dist=0.2),
+        dict(th_seeds_v=0.4, th_dist_v=0.2),
+        dict(uprightness_thr=0.4),
+        dict(sensor_height=1.2, max_range=60.0, min_range=3.5),
+        dict(adaptive_seed_selection_margin=-2.0),
+        dict(num_rings_of_interest=2),
+        dict(RNR_ver_angle_thr=-10.0, RNR_intensity_thr=0.5),
+    ],
+    ids=lambda kw: ",".join(f"{k}={v}" for k, v in kw.items()),
+)
+def test_param_matrix_oracle_and_engine_parity(scans, kwargs):
+    """Config-matrix sweep (quirk-path coverage). Two invariants:
+
+    1. tiled == unfused EXACT, unconditionally — the engines resolve even
+       rank-deficient fits identically (deterministic +z), so this holds
+       for every config (fresh AND a 2-frame adapted chain).
+    2. engine == oracle EXACT whenever the run is DETERMINATE, i.e.
+       (a) no plane fit saw exactly 2 points (rank-1 covariance,
+       solver-arbitrary null vector — the documented subsampled-cloud
+       caveat, tests/test_fused_kernel.py), AND (b) the engine's f32
+       binning agrees point-for-point with the oracle's f64 binning (a
+       ring-edge-straddling point can bin differently — the documented
+       deviation in ops/binning.py, observed on scan 000003 @ SUB=8 where
+       XLA's jitted f32 sqrt is 1 ulp off). Indeterminate configs skip
+       invariant 2 only, with the cause reported — never silently.
+       Scan 000002 is used because 000003 @ SUB=8 carries a permanent
+       ring-edge straggler (the ops/binning.py documented case) that would
+       make the oracle half vacuous for every config."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu.pipeline import make_frame_fn
+
+    p = Params(**kwargs)
+    cloud = scans["000002"][::SUB]
+    pts = np.zeros((CAPACITY, 4), np.float32)
+    pts[: len(cloud)] = cloud
+    args = (jnp.asarray(pts), jnp.int32(len(cloud)))
+
+    orc = NumpyPatchworkpp(p)
+    want0 = orc.estimate_ground(cloud)
+    oracle_pid0 = orc.last_patch_id
+    want1 = orc.estimate_ground(cloud)  # adapted second pass
+    oracle_pid1 = orc.last_patch_id
+
+    masks = {}
+    st1 = None
+    for fused in ("tiled", False):
+        fn = jax.jit(make_frame_fn(p, fused=fused))
+        st, r0 = fn(init_state(p), *args)
+        st1 = st
+        _, r1 = fn(st, *args)
+        masks[fused] = (
+            np.asarray(r0.ground_mask)[: len(cloud)],
+            np.asarray(r1.ground_mask)[: len(cloud)],
+        )
+
+    # Engine's f32 binning decisions (jitted — the compiled rounding is what
+    # the engines actually see): frame 1 with the fresh state, frame 2 with
+    # the adapted sensor height (RNR's threshold moves with it).
+    from patchworkpp_tpu.ops.binning import bin_points
+    from patchworkpp_tpu.params import CZMGeometry
+
+    geom = CZMGeometry.create(p)
+    bfn = jax.jit(
+        lambda a, sh: bin_points(a, jnp.int32(len(cloud)), sh, p, geom)
+    )
+    pid_diffs = 0
+    for sh, want_pid in (
+        (init_state(p).sensor_height, oracle_pid0),
+        (st1.sensor_height, oracle_pid1),
+    ):
+        epid = np.asarray(bfn(jnp.asarray(pts), sh).patch_id)[: len(cloud)]
+        epid = np.where(epid == geom.num_patches, -1, epid)
+        pid_diffs += int((epid != want_pid).sum())
+    binning_agrees = pid_diffs == 0
+    determinate = orc.two_point_fits == 0 and binning_agrees
+
+    # Invariant 1: engines agree bit-for-bit, every config.
+    np.testing.assert_array_equal(
+        masks["tiled"][0], masks[False][0], err_msg="tiled != unfused fresh"
+    )
+    np.testing.assert_array_equal(
+        masks["tiled"][1], masks[False][1], err_msg="tiled != unfused adapted"
+    )
+
+    # Invariant 2: oracle parity on determinate runs.
+    if determinate:
+        np.testing.assert_array_equal(masks["tiled"][0], want0, "vs oracle fresh")
+        np.testing.assert_array_equal(masks["tiled"][1], want1, "vs oracle adapted")
+    else:
+        cause = (
+            f"{pid_diffs} boundary-straddling point-frame(s) binned "
+            "differently in f32 vs f64"
+            if not binning_agrees
+            else (
+                f"{orc.two_point_fits} two-point fit(s) "
+                "(rank-1, solver-arbitrary)"
+            )
+        )
+        pytest.skip(
+            f"oracle parity undefined for this run ({cause}); "
+            "engine==engine invariant still asserted above"
+        )
+
+
 def test_state_checkpoint_resume(model, scans, tmp_path):
     """Segment 2 frames, checkpoint, resume elsewhere: labels must agree."""
     model.reset()
