@@ -76,7 +76,11 @@ def save_png(engine, out_path: str, title: str = "") -> None:
             ax.set_xlim(-80, 80)
             ax.set_ylim(-4, 12)
         leg = ax.legend(loc="upper right", markerscale=40, fontsize=9)
-        for h in leg.legend_handles:
+        # matplotlib renamed legendHandles -> legend_handles in 3.7
+        handles = getattr(leg, "legend_handles", None)
+        if handles is None:
+            handles = leg.legendHandles
+        for h in handles:
             h.set_alpha(1.0)
     fig.suptitle(
         title

@@ -182,8 +182,8 @@ class NativeScanLoader:
         if self._handle:
             # Destroy the loader even if releasing the held buffer reports a
             # bookkeeping error: skipping destroy would leak worker threads
-            # and slots until __del__ retries (and raising from __exit__ can
-            # mask an in-flight exception from the with-body).
+            # and slots until __del__ retries. The release error still
+            # propagates to the caller (see __exit__ for the with-body case).
             try:
                 self._release_held()
             finally:
@@ -193,8 +193,17 @@ class NativeScanLoader:
     def __enter__(self) -> "NativeScanLoader":
         return self
 
-    def __exit__(self, *exc) -> None:
-        self.close()
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+            return
+        # An exception is already in flight from the with-body: still tear
+        # down, but do not let a release-bookkeeping RuntimeError REPLACE it
+        # as the surfaced exception.
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __del__(self) -> None:  # best-effort
         try:

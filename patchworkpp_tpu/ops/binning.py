@@ -103,7 +103,23 @@ def bin_points(
     # boundary-straddling runs by comparing engine vs oracle patch ids and
     # scope oracle-parity assertions to runs where the binning agrees
     # (tests/test_pipeline_golden.py::test_param_matrix_*).
-    r = jnp.sqrt(x * x + y * y)
+    #
+    # A second, SHARPER hazard (found by tests/test_fuzz_parity.py): the
+    # same jit sqrt can round DIFFERENTLY in different jit PROGRAMS — XLA
+    # fuses r's producer chain with whatever surrounds it, and the fused
+    # codegen's last-ulp behavior depends on that context. Without the
+    # barrier below, a synthetic point whose radius sits within an ulp of a
+    # ring edge measurably binned into DIFFERENT rings in the tiled vs the
+    # unfused frame program (same backend, same input), flipping a whole
+    # patch across num_min_pts. The barrier pins r's computation into its
+    # own canonical fusion, making the binning decision a function of the
+    # inputs alone — every program that embeds bin_points (tiled, unfused,
+    # per-shard under shard_map) sees the same patch ids. The one (P,)
+    # materialization is not a cost but a measured WIN on the v5e-lite:
+    # same-day control bench 1616.6 scans/s without the barrier vs 1743.6 /
+    # 1752.2 with it (+8%) — splitting r out of the big binning fusion lets
+    # XLA schedule the sqrt once and overlap the consumers.
+    r = jax.lax.optimization_barrier(jnp.sqrt(x * x + y * y))
 
     if p.enable_RNR:
         ver_deg = jnp.arctan2(z, r) * jnp.float32(180.0 / math.pi)

@@ -345,7 +345,8 @@ def tiled_fit(
     #  carry2(4), pad] — the canonical 48-col layout when nsnap == 3
     # (out_layout extends it for num_iter > 3).
     snap_off, carry2_off, out_cols = out_layout(p)
-    assert carry2_off == snap_off + 5 * nsnap or nsnap == 3
+    # the concatenate below hard-codes these offsets; catch layout drift
+    assert snap_off == 16 and carry2_off == snap_off + 5 * nsnap
     out = jnp.concatenate(
         [
             plane[:, 0:3],           # OUT_NORMAL

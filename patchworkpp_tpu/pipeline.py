@@ -422,7 +422,8 @@ def make_frame_fn(
         raise ValueError(
             f"fused={fused!r} is a Pallas kernel with a fixed 3-snapshot "
             f"R-VPF output layout, but num_iter={p.num_iter} needs "
-            f"{p.num_iter}; use fused='tiled' (default) or fused=False"
+            f"{p.num_iter} snapshots; use fused='tiled' (default) or "
+            f"fused=False"
         )
 
     # The batched FIFO append (_write_at) drops writes that would run past

@@ -101,12 +101,24 @@ if HAVE_ROS2:  # pragma: no cover
             )
 
         def _on_cloud(self, msg: PointCloud2) -> None:
-            names = ("x", "y", "z")
-            if any(f.name == "intensity" for f in msg.fields):
-                names = ("x", "y", "z", "intensity")
-            pts = point_cloud2.read_points_numpy(
-                msg, field_names=names, skip_nans=True
+            # x/y/z are FLOAT32 in any standard cloud, but intensity is
+            # uint8/uint16 reflectivity on some drivers (Ouster, several
+            # Velodyne configs) and read_points_numpy requires ONE dtype
+            # across the selected fields — a mixed 4-field read would raise
+            # on every message. Read intensity as a second single-field
+            # call and cast, and apply the NaN filter to the assembled rows
+            # so the two reads cannot misalign (skip_nans drops rows
+            # per-call, and only for the fields that call selected).
+            xyz = point_cloud2.read_points_numpy(
+                msg, field_names=("x", "y", "z"), skip_nans=False
             ).astype(np.float32)
+            pts = xyz
+            if any(f.name == "intensity" for f in msg.fields):
+                intens = point_cloud2.read_points_numpy(
+                    msg, field_names=("intensity",), skip_nans=False
+                ).reshape(-1, 1).astype(np.float32)
+                pts = np.concatenate([xyz, intens], axis=1)
+            pts = pts[np.isfinite(pts).all(axis=1)]
             stamp = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
             self.server.publish(CloudMsg(points=pts, stamp=stamp, frame_id=self.base_frame))
             self.pub_cloud.publish(msg)

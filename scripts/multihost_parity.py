@@ -66,6 +66,7 @@ def _parse(argv=None):
     ap.add_argument("--process-id", type=int, default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--expected", default=None, help=argparse.SUPPRESS)
     return ap.parse_args(argv)
 
 
@@ -79,30 +80,104 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _compute_quick_expectations() -> str:
+    """Single-device expected labels for the quick configs, computed ONCE in
+    the parent and handed to every worker as an .npz path (each worker used
+    to recompute the full compile + 4 engine runs itself — pure duplicated
+    CI wall-clock). Runs on CPU: a sitecustomize may force JAX_PLATFORMS to
+    the tunneled TPU, and env vars alone are overridden, so use the config
+    update before any device query (same pattern as tests/conftest.py)."""
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from patchworkpp_tpu.models import PatchworkPP
+    from patchworkpp_tpu.params import Params
+
+    sub, cap = 16, 8192
+    names = [f"{i:06d}" for i in range(2)]
+    p = Params()
+    out = {}
+    m = PatchworkPP(p, capacity=cap)
+    for n in names:
+        scan = np.fromfile(
+            os.path.join(DATA_DIR, f"{n}.bin"), np.float32
+        ).reshape(-1, 4)[::sub].copy()
+        fresh = np.zeros(cap, bool)
+        fresh[: len(scan)] = np.asarray(
+            PatchworkPP(p, capacity=cap).estimate_ground(scan).ground_mask
+        )
+        seq = np.zeros(cap, bool)
+        seq[: len(scan)] = np.asarray(m.estimate_ground(scan).ground_mask)
+        out[f"fresh_{n}"], out[f"seq_{n}"] = fresh, seq
+    f = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
+    np.savez(f, **out)
+    f.close()
+    return f.name
+
+
 def parent(args) -> int:
+    import tempfile
+
     port = _free_port()
-    procs = []
-    for i in range(args.num_processes):
-        cmd = [
-            sys.executable, os.path.abspath(__file__), "--worker",
-            "--process-id", str(i), "--port", str(port),
-            "--num-processes", str(args.num_processes),
-            "--devices-per-process", str(args.devices_per_process),
-        ] + (["--quick"] if args.quick else [])
-        env = dict(os.environ)
-        procs.append(subprocess.Popen(
-            cmd, env=env,
-            stdout=None if i == 0 else subprocess.PIPE,
-            stderr=subprocess.STDOUT if i != 0 else None,
-            text=True,
-        ))
+    exp_path = _compute_quick_expectations() if args.quick else None
+    procs, outfiles = [], []
     rcs = []
-    for i, pr in enumerate(procs):
-        out, _ = pr.communicate(timeout=3600)
-        rcs.append(pr.returncode)
-        if pr.returncode != 0 and i != 0 and out:
-            sys.stderr.write(f"--- worker {i} output ---\n{out}\n")
-    ok = all(rc == 0 for rc in rcs)
+    try:
+        for i in range(args.num_processes):
+            cmd = [
+                sys.executable, os.path.abspath(__file__), "--worker",
+                "--process-id", str(i), "--port", str(port),
+                "--num-processes", str(args.num_processes),
+                "--devices-per-process", str(args.devices_per_process),
+            ] + (["--quick", "--expected", exp_path] if args.quick else [])
+            # Worker 0 logs straight to the console; the others write to
+            # temp FILES, not pipes — an unread pipe fills at ~64 KiB and
+            # would block that worker mid-write (and therefore mid-
+            # collective), deadlocking every other worker with it.
+            f = None if i == 0 else tempfile.TemporaryFile(mode="w+")
+            procs.append(subprocess.Popen(
+                cmd, env=dict(os.environ),
+                stdout=f,
+                stderr=subprocess.STDOUT if f is not None else None,
+                text=True,
+            ))
+            outfiles.append(f)
+        for pr in procs:
+            try:
+                rcs.append(pr.wait(timeout=3600))
+            except subprocess.TimeoutExpired:
+                rcs.append(None)  # counts as failure below
+    finally:
+        # Never leave orphaned workers holding the coordinator port: kill
+        # our own spawned PIDs (never by pattern) on timeout/exception.
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+        for pr in procs:
+            if pr.poll() is None:
+                try:
+                    pr.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    pass
+        for i, (pr, f) in enumerate(zip(procs, outfiles)):
+            if f is not None:
+                if pr.returncode != 0:
+                    f.seek(0)
+                    sys.stderr.write(
+                        f"--- worker {i} output ---\n{f.read()}\n"
+                    )
+                f.close()
+        if exp_path is not None:
+            try:
+                os.unlink(exp_path)
+            except OSError:
+                pass
+    ok = len(rcs) == args.num_processes and all(rc == 0 for rc in rcs)
     print(json.dumps({
         "multihost_parity": "PASS" if ok else "FAIL",
         "num_processes": args.num_processes,
@@ -215,9 +290,15 @@ def worker(args) -> int:
         failures += mism != 0
 
     # ---- expected labels ----
-    if args.quick:
-        # single-device run of the SAME engine in this process = the oracle
-        # for multi-process execution (multi-process == single-process).
+    if args.quick and args.expected:
+        # single-device run of the SAME engine = the oracle for
+        # multi-process execution (multi-process == single-process),
+        # computed ONCE by the parent and shipped as an .npz path.
+        exp = np.load(args.expected)
+        exp_fresh = {n: exp[f"fresh_{n}"] for n in names}
+        exp_seq = {n: exp[f"seq_{n}"] for n in names}
+    elif args.quick:
+        # standalone-worker fallback (debugging): compute them here.
         from patchworkpp_tpu.models import PatchworkPP
 
         exp_fresh, exp_seq = {}, {}

@@ -119,11 +119,13 @@ def test_param_matrix_oracle_and_engine_parity(scans, kwargs):
     oracle_pid1 = orc.last_patch_id
 
     masks = {}
-    st1 = None
+    st1 = {}  # per-engine adapted state: the engines are label-equal but
+    # their per-tile moment partials differ by ulps, so the adapted
+    # sensor_height (and hence frame-2 binning) can differ per engine.
     for fused in ("tiled", False):
         fn = jax.jit(make_frame_fn(p, fused=fused))
         st, r0 = fn(init_state(p), *args)
-        st1 = st
+        st1[fused] = st
         _, r1 = fn(st, *args)
         masks[fused] = (
             np.asarray(r0.ground_mask)[: len(cloud)],
@@ -143,7 +145,11 @@ def test_param_matrix_oracle_and_engine_parity(scans, kwargs):
     pid_diffs = 0
     for sh, want_pid in (
         (init_state(p).sensor_height, oracle_pid0),
-        (st1.sensor_height, oracle_pid1),
+        # frame 2 must be determinate under BOTH engines' adapted heights
+        # (invariant 2 compares the tiled labels; the unfused height can
+        # sit an ulp away and straddle a different point)
+        (st1["tiled"].sensor_height, oracle_pid1),
+        (st1[False].sensor_height, oracle_pid1),
     ):
         epid = np.asarray(bfn(jnp.asarray(pts), sh).patch_id)[: len(cloud)]
         epid = np.where(epid == geom.num_patches, -1, epid)

@@ -26,10 +26,14 @@ class _FakeField:
 
 
 class _FakePointCloud2:
-    def __init__(self, pts=None, header=None, field_names=("x", "y", "z")):
+    def __init__(self, pts=None, header=None, field_names=("x", "y", "z"),
+                 field_dtypes=None):
         self._pts = pts
         self.header = header
         self.fields = [_FakeField(n) for n in field_names]
+        # per-field storage dtype (default FLOAT32), mirroring
+        # sensor_msgs.msg.PointField.datatype
+        self._field_dtypes = dict(field_dtypes or {})
 
 
 class _FakeParameter:
@@ -133,7 +137,17 @@ def bridge(monkeypatch):
     fake_pc2 = types.ModuleType("sensor_msgs_py.point_cloud2")
 
     def read_points_numpy(msg, field_names=("x", "y", "z"), skip_nans=True):
-        return msg._pts[:, : len(field_names)]
+        # Faithful to sensor_msgs_py.point_cloud2.read_points_numpy:
+        # selection is by field NAME, and every selected field must share
+        # one dtype (the real function asserts exactly this) — a mixed
+        # float32-xyz + uint16-intensity read must fail like the real one.
+        cols = {"x": 0, "y": 1, "z": 2, "intensity": 3}
+        dtypes = {
+            np.dtype(msg._field_dtypes.get(n, np.float32)) for n in field_names
+        }
+        assert len(dtypes) == 1, "All fields need to have the same datatype."
+        out = msg._pts[:, [cols[n] for n in field_names]]
+        return out.astype(dtypes.pop())
 
     def create_cloud_xyz32(header, pts):
         return _FakePointCloud2(np.asarray(pts), header)
@@ -269,6 +283,46 @@ def test_bridge_intensity_enables_rnr(bridge, scans):
         g = pubs["/patchworkpp/ground"].messages[0]._pts
         gm = np.asarray(want_on.ground_mask)[: len(pts4)]
         np.testing.assert_allclose(g, pts4[gm][:, :3])
+    finally:
+        node.server.stop()
+
+
+def test_bridge_integer_intensity_field(bridge, scans):
+    """Drivers that publish uint8/uint16 reflectivity as the intensity
+    field (Ouster, several Velodyne configs) must not crash the callback:
+    read_points_numpy refuses mixed-dtype field selections, so the bridge
+    reads intensity as a second single-field call and casts to float32.
+    RNR must run on the cast values."""
+    from patchworkpp_tpu.models import PatchworkPP
+    from patchworkpp_tpu.params import Params
+
+    pts4 = scans["000000"][::SUB].astype(np.float32).copy()
+    pts4[:4] = [
+        [3.1, 0.0, -3.4, 0.0],
+        [0.0, 3.6, -3.6, 0.0],
+        [-2.9, 0.9, -3.5, 0.0],
+        [2.5, -2.5, -3.3, 0.0],
+    ]
+    # what the bridge will assemble: float32 xyz + uint16-cast intensity
+    cast = pts4.copy()
+    cast[:, 3] = pts4[:, 3].astype(np.uint16).astype(np.float32)
+    want = PatchworkPP(Params(enable_RNR=True)).estimate_ground(cast)
+
+    node = bridge.PatchworkppNode()
+    try:
+        msg = _FakePointCloud2(
+            pts4, _Header(), field_names=("x", "y", "z", "intensity"),
+            field_dtypes={"intensity": np.uint16},
+        )
+        pubs = {p.topic: p for p in node.publishers}
+        node._on_cloud(msg)
+        deadline = time.time() + 120.0
+        while time.time() < deadline and not pubs["/patchworkpp/ground"].messages:
+            time.sleep(0.05)
+        assert pubs["/patchworkpp/ground"].messages, "no ground cloud published"
+        g = pubs["/patchworkpp/ground"].messages[0]._pts
+        gm = np.asarray(want.ground_mask)[: len(cast)]
+        np.testing.assert_allclose(g, cast[gm][:, :3])
     finally:
         node.server.stop()
 
