@@ -134,8 +134,14 @@ def bin_points(
 
     in_range = (r <= jnp.float32(p.max_range)) & (r > jnp.float32(p.min_range)) & valid
 
+    # Same cross-program pinning for the sector decision: atan2's fused
+    # codegen could in principle round differently per embedding program
+    # (sector-edge probes in tests/test_fuzz_parity.py). Measured
+    # perf-neutral on the chip (1757.8 vs 1752.2/1761.4 scans/s).
     theta = jnp.arctan2(y, x)
-    theta = jnp.where(theta > 0, theta, theta + jnp.float32(2 * math.pi))
+    theta = jax.lax.optimization_barrier(
+        jnp.where(theta > 0, theta, theta + jnp.float32(2 * math.pi))
+    )
 
     # Vectorized zone/ring/sector: compute candidate (ring, sector) for every
     # zone, then select by radial interval — cheap (Z=4) and branch-free.
