@@ -40,11 +40,41 @@ CAP = 8192
 ZONE_EDGES = (2.7, 12.3625, 22.025, 41.35, 80.0)
 
 
-def synth_cloud(seed: int, exact_edges: bool = True) -> np.ndarray:
+def geom_probe_constants(p: Params):
+    """Derive boundary-probe constants from an arbitrary CZM geometry:
+    (all radial ring/zone edges, a mid-ring radius per zone, sector counts)."""
+    from patchworkpp_tpu.params import CZMGeometry
+
+    geom = CZMGeometry.create(p)
+    edges = []
+    for k in range(p.num_zones):
+        lo = float(geom.min_ranges[k])
+        size = float(geom.ring_sizes[k])
+        for j in range(p.num_rings_each_zone[k] + 1):
+            edges.append(lo + j * size)
+    edges = sorted(set(edges))
+    if len(edges) > 16:  # keep probe row count bounded for exotic grids
+        edges = edges[:: len(edges) // 16 + 1] + [edges[-1]]
+    mids = [
+        float(geom.min_ranges[k]) + 0.5 * float(geom.ring_sizes[k])
+        for k in range(p.num_zones)
+    ]
+    return tuple(edges), tuple(mids), tuple(p.num_sectors_each_zone)
+
+
+def synth_cloud(
+    seed: int,
+    exact_edges: bool = True,
+    zone_edges=ZONE_EDGES,
+    zone_mid_r=(7.0, 17.0, 30.0, 60.0),
+    nsec=(16, 32, 54, 32),
+) -> np.ndarray:
     """~3.7k-point adversarial cloud, float32 (N, 4).
 
     exact_edges=True puts boundary probes ON the edges (sub-ulp);
     exact_edges=False nudges them 1e-3 away (f32-decidable bins).
+    zone_edges/zone_mid_r/nsec default to the stock CZM; pass
+    geom_probe_constants(p) values to probe a custom geometry's boundaries.
     """
     rng = np.random.default_rng(seed)
     eps_set = (0.0, 1e-7, -1e-7) if exact_edges else (1e-3, -1e-3)
@@ -94,7 +124,7 @@ def synth_cloud(seed: int, exact_edges: bool = True) -> np.ndarray:
     # radii on/near zone boundaries — the f32-vs-f64 binning edge
     # (ops/binning.py); the exact variant trips the cross-PROGRAM hazard
     # the optimization_barrier pins down
-    for edge in ZONE_EDGES:
+    for edge in zone_edges:
         for eps in eps_set:
             n = 4
             th = rng.uniform(0, 2 * np.pi, n)
@@ -109,8 +139,6 @@ def synth_cloud(seed: int, exact_edges: bool = True) -> np.ndarray:
     # theta on/near sector boundaries (per-zone sector grids) — the atan2
     # analog of the radius edge probes
     th_eps = (0.0, 1e-7, -1e-7) if exact_edges else (1e-4, -1e-4)
-    zone_mid_r = (7.0, 17.0, 30.0, 60.0)
-    nsec = (16, 32, 54, 32)
     for zr, ns in zip(zone_mid_r, nsec):
         j = rng.integers(0, ns, 6)
         th = j * (2 * np.pi / ns) + rng.choice(th_eps, 6)
@@ -254,6 +282,69 @@ def test_fuzz_oracle_parity_clean(frame_fns, seed):
         pytest.skip(
             f"oracle parity undefined for seed {seed} ({cause}); "
             "engine==engine invariant still asserted"
+        )
+
+
+def test_fuzz_custom_czm_parity():
+    """A >511-patch custom CZM (688 patches — the reference's vector-built
+    CZM accepts any grid, patchworkpp.h:104-134; ours scales geom.spad)
+    fuzzed with probes ON ITS OWN derived ring/sector boundaries: the
+    engines must agree bit-for-bit on the edgy cloud, and match the f64
+    oracle exactly on the clean cloud when determinate."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu.ops.binning import bin_points
+    from patchworkpp_tpu.params import CZMGeometry
+    from patchworkpp_tpu.pipeline import make_frame_fn
+
+    p = Params(
+        num_rings_each_zone=(3, 4, 4, 4),
+        num_sectors_each_zone=(16, 32, 64, 64),
+    )
+    geom = CZMGeometry.create(p)
+    assert geom.num_patches == 688 and geom.spad > 512
+    probes = geom_probe_constants(p)
+    fns = {
+        fused: jax.jit(make_frame_fn(p, fused=fused))
+        for fused in ("tiled", False)
+    }
+
+    # edgy: engines agree bit-for-bit (seed 1: determinate on the clean
+    # variant — seed 0 hits a two-point fit and would skip the oracle half)
+    args = _pad_args(synth_cloud(1, True, *probes))
+    edgy = {}
+    for fused, fn in fns.items():
+        st, r0 = fn(init_state(p), *args)
+        _, r1 = fn(st, *args)
+        edgy[fused] = (np.asarray(r0.ground_mask), np.asarray(r1.ground_mask))
+    for k in (0, 1):
+        np.testing.assert_array_equal(
+            edgy["tiled"][k], edgy[False][k], err_msg=f"engines frame {k}"
+        )
+
+    # clean: oracle parity under the determinacy guard
+    cloud = synth_cloud(1, False, *probes)
+    args = _pad_args(cloud)
+    orc = NumpyPatchworkpp(p)
+    want0 = orc.estimate_ground(cloud)
+    pid0 = orc.last_patch_id
+    st, r0 = fns["tiled"](init_state(p), *args)
+    got0 = np.asarray(r0.ground_mask)[: len(cloud)]
+    bfn = jax.jit(
+        lambda a, sh: bin_points(a, jnp.int32(len(cloud)), sh, p, geom)
+    )
+    epid = np.asarray(bfn(args[0], init_state(p).sensor_height).patch_id)[
+        : len(cloud)
+    ]
+    epid = np.where(epid == geom.num_patches, -1, epid)
+    pid_diffs = int((epid != pid0).sum())
+    if orc.two_point_fits == 0 and pid_diffs == 0:
+        np.testing.assert_array_equal(got0, want0, "vs oracle fresh")
+    else:
+        pytest.skip(
+            f"oracle parity undefined ({pid_diffs} straddlers, "
+            f"{orc.two_point_fits} two-point fits); engines-agree asserted"
         )
 
 
