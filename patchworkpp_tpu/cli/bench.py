@@ -91,10 +91,11 @@ def main() -> None:
     ap.add_argument(
         "--fused", default="auto",
         choices=["auto", "grid", "grid_iota", "unfused", "tiled"],
-        help="engine path: auto (default; the grid kernel on TPU), an "
-             "explicit kernel prefix mode, 'tiled' (the XLA tiled engine — "
-             "what the point-sharded multi-chip program runs per shard), or "
-             "the unfused sorted-layout XLA path",
+        help="engine path: auto (default; resolves to the tiled XLA engine "
+             "on every backend), 'tiled' explicitly (also what the point-"
+             "sharded multi-chip program runs per shard), 'grid'/'grid_iota' "
+             "(the experimental Mosaic kernel canary, ~110 s compile), or "
+             "'unfused' (the sorted-layout XLA fallback)",
     )
     ap.add_argument(
         "--streams", type=int, default=1, metavar="S",
