@@ -174,6 +174,17 @@ def bin_points(
         ring14 = jnp.where(sel, jnp.int32(ring_offset[k]) + ring, ring14)
         sector = jnp.where(sel, sec, sector)
 
+    # Pin the DECISIONS themselves, not just r/theta: the sub/div/floor
+    # chains (and the RNR arctan2) between the barriered inputs and these
+    # outputs are otherwise duplicated into each consumer fusion, where
+    # TPU's approximated divide could in principle round per-context like
+    # the sqrt did. With barriers on both ends, the middle is an identical
+    # self-contained subgraph in every embedding program, so bin decisions
+    # are deterministic per backend BY CONSTRUCTION (NUMERICS.md). Measured
+    # wall-neutral on the chip.
+    patch_id, noise, in_range, ring14, sector = jax.lax.optimization_barrier(
+        (patch_id, noise, in_range, ring14, sector)
+    )
     return PointBins(
         patch_id=patch_id, valid=valid, noise=noise, in_range=in_range,
         ring14=ring14, sector=sector,

@@ -101,23 +101,22 @@ if HAVE_ROS2:  # pragma: no cover
             )
 
         def _on_cloud(self, msg: PointCloud2) -> None:
-            # x/y/z are FLOAT32 in any standard cloud, but intensity is
-            # uint8/uint16 reflectivity on some drivers (Ouster, several
-            # Velodyne configs) and read_points_numpy requires ONE dtype
-            # across the selected fields — a mixed 4-field read would raise
-            # on every message. Read intensity as a second single-field
-            # call and cast, and apply the NaN filter to the assembled rows
-            # so the two reads cannot misalign (skip_nans drops rows
-            # per-call, and only for the fields that call selected).
-            xyz = point_cloud2.read_points_numpy(
-                msg, field_names=("x", "y", "z"), skip_nans=False
-            ).astype(np.float32)
-            pts = xyz
+            # NOT read_points_numpy: its same-dtype assert inspects EVERY
+            # field of the message (not just the selected ones), so any
+            # real driver cloud — float32 x/y/z plus uint16 intensity,
+            # uint8 ring, uint32 t, ... — raises on even an xyz-only read.
+            # The structured read_points has no such restriction; assemble
+            # the columns ourselves and cast (uint8/uint16 reflectivity
+            # intensities become float32, so RNR runs on the cast values).
+            names = ["x", "y", "z"]
             if any(f.name == "intensity" for f in msg.fields):
-                intens = point_cloud2.read_points_numpy(
-                    msg, field_names=("intensity",), skip_nans=False
-                ).reshape(-1, 1).astype(np.float32)
-                pts = np.concatenate([xyz, intens], axis=1)
+                names.append("intensity")
+            arr = point_cloud2.read_points(
+                msg, field_names=names, skip_nans=False
+            )
+            pts = np.stack(
+                [np.asarray(arr[n], np.float32) for n in names], axis=1
+            )
             pts = pts[np.isfinite(pts).all(axis=1)]
             stamp = msg.header.stamp.sec + msg.header.stamp.nanosec * 1e-9
             self.server.publish(CloudMsg(points=pts, stamp=stamp, frame_id=self.base_frame))

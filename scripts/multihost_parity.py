@@ -80,15 +80,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _compute_quick_expectations() -> str:
-    """Single-device expected labels for the quick configs, computed ONCE in
-    the parent and handed to every worker as an .npz path (each worker used
-    to recompute the full compile + 4 engine runs itself — pure duplicated
-    CI wall-clock). Runs on CPU: a sitecustomize may force JAX_PLATFORMS to
-    the tunneled TPU, and env vars alone are overridden, so use the config
-    update before any device query (same pattern as tests/conftest.py)."""
-    import tempfile
+# quick (CI) mode configuration — the ONE source of truth shared by the
+# parent's expectation compute and the worker (sub-sampling stride, padded
+# capacity, number of scans)
+QUICK_SUB, QUICK_CAP, QUICK_NSCANS = 16, 8192, 2
 
+
+def _quick_expected() -> dict:
+    """Single-device expected label masks for the quick configs
+    ({fresh,seq}_<scan> -> (QUICK_CAP,) bool). Runs on CPU: a sitecustomize
+    may force JAX_PLATFORMS to the tunneled TPU, and env vars alone are
+    overridden, so use the config update before any device query (same
+    pattern as tests/conftest.py)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -98,24 +101,34 @@ def _compute_quick_expectations() -> str:
     from patchworkpp_tpu.models import PatchworkPP
     from patchworkpp_tpu.params import Params
 
-    sub, cap = 16, 8192
-    names = [f"{i:06d}" for i in range(2)]
     p = Params()
     out = {}
-    m = PatchworkPP(p, capacity=cap)
-    for n in names:
+    m = PatchworkPP(p, capacity=QUICK_CAP)
+    for i in range(QUICK_NSCANS):
+        n = f"{i:06d}"
         scan = np.fromfile(
             os.path.join(DATA_DIR, f"{n}.bin"), np.float32
-        ).reshape(-1, 4)[::sub].copy()
-        fresh = np.zeros(cap, bool)
+        ).reshape(-1, 4)[::QUICK_SUB].copy()
+        fresh = np.zeros(QUICK_CAP, bool)
         fresh[: len(scan)] = np.asarray(
-            PatchworkPP(p, capacity=cap).estimate_ground(scan).ground_mask
+            PatchworkPP(p, capacity=QUICK_CAP).estimate_ground(scan).ground_mask
         )
-        seq = np.zeros(cap, bool)
+        seq = np.zeros(QUICK_CAP, bool)
         seq[: len(scan)] = np.asarray(m.estimate_ground(scan).ground_mask)
         out[f"fresh_{n}"], out[f"seq_{n}"] = fresh, seq
+    return out
+
+
+def _compute_quick_expectations() -> str:
+    """Compute the quick expectations ONCE in the parent and hand every
+    worker an .npz path (each worker used to recompute the full compile +
+    engine runs itself — pure duplicated CI wall-clock)."""
+    import tempfile
+
+    import numpy as np
+
     f = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
-    np.savez(f, **out)
+    np.savez(f, **_quick_expected())
     f.close()
     return f.name
 
@@ -123,8 +136,11 @@ def _compute_quick_expectations() -> str:
 def parent(args) -> int:
     import tempfile
 
-    port = _free_port()
+    # Expectations FIRST (tens of seconds of compile), the coordinator port
+    # LAST: _free_port() releases the socket, so every second between
+    # picking it and the workers binding it widens the reuse race window.
     exp_path = _compute_quick_expectations() if args.quick else None
+    port = _free_port()
     procs, outfiles = [], []
     rcs = []
     try:
@@ -247,9 +263,9 @@ def worker(args) -> int:
         f"{args.devices_per_process} devices = {ndev}-device global mesh "
         f"({'quick' if args.quick else 'full golden'})")
 
-    sub = 16 if args.quick else 1
-    cap = 8192 if args.quick else 131072
-    names = [f"{i:06d}" for i in range(2 if args.quick else 6)]
+    sub = QUICK_SUB if args.quick else 1
+    cap = QUICK_CAP if args.quick else 131072
+    names = [f"{i:06d}" for i in range(QUICK_NSCANS if args.quick else 6)]
     scans = {
         n: np.fromfile(
             os.path.join(DATA_DIR, f"{n}.bin"), np.float32
@@ -298,20 +314,11 @@ def worker(args) -> int:
         exp_fresh = {n: exp[f"fresh_{n}"] for n in names}
         exp_seq = {n: exp[f"seq_{n}"] for n in names}
     elif args.quick:
-        # standalone-worker fallback (debugging): compute them here.
-        from patchworkpp_tpu.models import PatchworkPP
-
-        exp_fresh, exp_seq = {}, {}
-        m = PatchworkPP(p, capacity=cap)
-        for n in names:
-            exp_fresh[n] = np.zeros(cap, bool)
-            exp_fresh[n][: len(scans[n])] = np.asarray(
-                PatchworkPP(p, capacity=cap).estimate_ground(scans[n]).ground_mask
-            )
-            exp_seq[n] = np.zeros(cap, bool)
-            exp_seq[n][: len(scans[n])] = np.asarray(
-                m.estimate_ground(scans[n]).ground_mask
-            )
+        # standalone-worker fallback (debugging): compute via the same
+        # shared helper the parent uses.
+        exp = _quick_expected()
+        exp_fresh = {n: exp[f"fresh_{n}"] for n in names}
+        exp_seq = {n: exp[f"seq_{n}"] for n in names}
     else:
         gold = np.load(GOLDEN)
         exp_fresh, exp_seq = {}, {}

@@ -348,13 +348,11 @@ def test_fuzz_custom_czm_parity():
         )
 
 
-@pytest.mark.parametrize("seed", range(2))
-def test_fuzz_point_sharded_parity(seed):
-    """The point-sharded SPMD program is a THIRD compiled embedding of the
-    same binning + fit math (per-shard shapes, collectives between passes).
-    Its labels must equal the single-device tiled program bit-for-bit on
-    the EDGY clouds too — exactly the cross-PROGRAM consistency the
-    optimization_barrier in ops/binning.py pins down."""
+@pytest.fixture(scope="module")
+def sharded_fns():
+    """Compile the 8-device point-sharded program and the single-device
+    tiled program ONCE for the module (the sharded-mesh compile dominates
+    this test pair's wall-clock; both seeds share shapes and params)."""
     import jax
     from jax.sharding import Mesh
 
@@ -363,8 +361,21 @@ def test_fuzz_point_sharded_parity(seed):
 
     p = Params()
     mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
-    sfn = make_point_sharded_frame_fn(p, mesh, axis="d")
-    fn = jax.jit(make_frame_fn(p, fused="tiled"))
+    return (
+        p,
+        make_point_sharded_frame_fn(p, mesh, axis="d"),
+        jax.jit(make_frame_fn(p, fused="tiled")),
+    )
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_point_sharded_parity(sharded_fns, seed):
+    """The point-sharded SPMD program is a THIRD compiled embedding of the
+    same binning + fit math (per-shard shapes, collectives between passes).
+    Its labels must equal the single-device tiled program bit-for-bit on
+    the EDGY clouds too — exactly the cross-PROGRAM consistency the
+    optimization_barrier in ops/binning.py pins down."""
+    p, sfn, fn = sharded_fns
 
     args = _pad_args(synth_cloud(seed, exact_edges=True))
 

@@ -136,22 +136,44 @@ def bridge(monkeypatch):
 
     fake_pc2 = types.ModuleType("sensor_msgs_py.point_cloud2")
 
-    def read_points_numpy(msg, field_names=("x", "y", "z"), skip_nans=True):
-        # Faithful to sensor_msgs_py.point_cloud2.read_points_numpy:
-        # selection is by field NAME, and every selected field must share
-        # one dtype (the real function asserts exactly this) — a mixed
-        # float32-xyz + uint16-intensity read must fail like the real one.
-        cols = {"x": 0, "y": 1, "z": 2, "intensity": 3}
+    _COLS = {"x": 0, "y": 1, "z": 2, "intensity": 3}
+
+    def read_points(msg, field_names=None, skip_nans=False, uvs=None,
+                    reshape_organized_cloud=False):
+        """Faithful subset of sensor_msgs_py.point_cloud2.read_points: a
+        structured array with each field in its own storage dtype, NO
+        same-dtype restriction."""
+        names = list(field_names) if field_names else [
+            f.name for f in msg.fields
+        ]
+        dt = np.dtype(
+            [(n, msg._field_dtypes.get(n, np.float32)) for n in names]
+        )
+        out = np.empty(len(msg._pts), dtype=dt)
+        for n in names:
+            out[n] = msg._pts[:, _COLS[n]].astype(dt[n])
+        return out
+
+    def read_points_numpy(msg, field_names=None, skip_nans=True, **kw):
+        # Faithful to upstream read_points_numpy's gotcha: the same-dtype
+        # assert inspects EVERY field of the MESSAGE, ignoring field_names
+        # — which is exactly why the bridge must use read_points instead
+        # (a float32-xyz + uint16-intensity cloud fails even an xyz read).
         dtypes = {
-            np.dtype(msg._field_dtypes.get(n, np.float32)) for n in field_names
+            np.dtype(msg._field_dtypes.get(f.name, np.float32))
+            for f in msg.fields
         }
-        assert len(dtypes) == 1, "All fields need to have the same datatype."
-        out = msg._pts[:, [cols[n] for n in field_names]]
-        return out.astype(dtypes.pop())
+        assert len(dtypes) == 1, (
+            "All fields need to have the same datatype. Use `read_points()`"
+            " otherwise."
+        )
+        arr = read_points(msg, field_names, skip_nans)
+        return np.stack([arr[n] for n in arr.dtype.names], axis=1)
 
     def create_cloud_xyz32(header, pts):
         return _FakePointCloud2(np.asarray(pts), header)
 
+    fake_pc2.read_points = read_points
     fake_pc2.read_points_numpy = read_points_numpy
     fake_pc2.create_cloud_xyz32 = create_cloud_xyz32
     fake_sensor_msgs_py = types.ModuleType("sensor_msgs_py")
@@ -289,10 +311,12 @@ def test_bridge_intensity_enables_rnr(bridge, scans):
 
 def test_bridge_integer_intensity_field(bridge, scans):
     """Drivers that publish uint8/uint16 reflectivity as the intensity
-    field (Ouster, several Velodyne configs) must not crash the callback:
-    read_points_numpy refuses mixed-dtype field selections, so the bridge
-    reads intensity as a second single-field call and casts to float32.
-    RNR must run on the cast values."""
+    field (Ouster, several Velodyne configs) must not crash the callback.
+    read_points_numpy's same-dtype assert inspects EVERY message field
+    (ignoring field_names), so a realistic cloud — which also carries
+    uint8 ring / uint32 t — would fail even an xyz-only numpy read; the
+    bridge must use the structured read_points and cast. RNR must run on
+    the cast values."""
     from patchworkpp_tpu.models import PatchworkPP
     from patchworkpp_tpu.params import Params
 
@@ -311,8 +335,11 @@ def test_bridge_integer_intensity_field(bridge, scans):
     node = bridge.PatchworkppNode()
     try:
         msg = _FakePointCloud2(
-            pts4, _Header(), field_names=("x", "y", "z", "intensity"),
-            field_dtypes={"intensity": np.uint16},
+            pts4, _Header(),
+            field_names=("x", "y", "z", "intensity", "ring", "t"),
+            field_dtypes={
+                "intensity": np.uint16, "ring": np.uint8, "t": np.uint32
+            },
         )
         pubs = {p.topic: p for p in node.publishers}
         node._on_cloud(msg)
