@@ -348,6 +348,34 @@ def test_fuzz_custom_czm_parity():
         )
 
 
+def test_fuzz_grid_kernel_interpret_parity(frame_fns):
+    """The Mosaic grid kernel's frame program is a FOURTH embedding of
+    bin_points (interpret mode here; its on-chip golden gate is
+    scripts/tpu_parity.py --grid). Bit-for-bit label agreement with the
+    tiled engine on an edgy cloud extends the cross-program invariant to
+    the kernel embedding in CI."""
+    import jax
+
+    from patchworkpp_tpu.pipeline import make_frame_fn
+
+    p, fns = frame_fns
+    gfn = jax.jit(make_frame_fn(p, fused="grid", interpret=True))
+    args = _pad_args(synth_cloud(0, exact_edges=True))
+
+    st_g, r_g = gfn(init_state(p), *args)
+    st_t, r_t = fns["tiled"](init_state(p), *args)
+    np.testing.assert_array_equal(
+        np.asarray(r_g.ground_mask), np.asarray(r_t.ground_mask),
+        err_msg="grid(interpret) != tiled fresh",
+    )
+    _, r_g1 = gfn(st_g, *args)
+    _, r_t1 = fns["tiled"](st_t, *args)
+    np.testing.assert_array_equal(
+        np.asarray(r_g1.ground_mask), np.asarray(r_t1.ground_mask),
+        err_msg="grid(interpret) != tiled adapted",
+    )
+
+
 @pytest.fixture(scope="module")
 def sharded_fns():
     """Compile the 8-device point-sharded program and the single-device
