@@ -61,20 +61,69 @@ def _device_pids(events: List[dict]) -> set:
     return dev
 
 
+def _leaf_events(events: List[dict]) -> List[dict]:
+    """Device complete-events (ph=X), minus enclosing containers.
+
+    Chrome-trace nesting: on one (pid, tid) line, an event that contains
+    another event's start is a container — the per-frame ``while`` loop,
+    the module-level ``jit_*`` event — and counting it alongside its
+    children double-counts every nested duration (the old report showed a
+    bogus 'other' worth the whole program twice). Keep only events with no
+    children (the actual executed ops)."""
+    pids = _device_pids(events)
+    # Module-level tracks duplicate their ops' total on a separate tid
+    # (the "XLA Modules" line's jit_* event spans the whole executable),
+    # so same-track nesting detection cannot see them — drop those tracks
+    # by thread name.
+    drop_tids = {
+        (ev["pid"], ev.get("tid"))
+        for ev in events
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name"
+        and any(
+            key in ev.get("args", {}).get("name", "")
+            for key in ("Module", "Steps", "Framework")
+        )
+    }
+    per_track: Dict[tuple, List[dict]] = defaultdict(list)
+    leaves: List[dict] = []
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in pids:
+            continue
+        if (ev["pid"], ev.get("tid")) in drop_tids:
+            continue
+        if ev.get("dur", 0) <= 0:
+            continue
+        if "ts" not in ev:  # no nesting info -> treat as a leaf op
+            leaves.append(ev)
+            continue
+        per_track[(ev["pid"], ev.get("tid"))].append(ev)
+    for evs in per_track.values():
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack: List[list] = []  # [end_ts, event, saw_child]
+        for ev in evs:
+            ts = ev["ts"]
+            while stack and stack[-1][0] <= ts:
+                fin = stack.pop()
+                if not fin[2]:
+                    leaves.append(fin[1])
+            if stack:
+                stack[-1][2] = True
+            stack.append([ts + ev["dur"], ev, False])
+        for fin in stack:
+            if not fin[2]:
+                leaves.append(fin[1])
+    return leaves
+
+
 def stage_breakdown(events: List[dict]) -> Dict[str, float]:
-    """Aggregate device complete-events (ph=X) into stage -> total seconds.
+    """Aggregate leaf device events into stage -> total seconds.
 
     An op belongs to a stage when its name or HLO metadata mentions a
     ``stage_*`` named scope; everything else lands in ``other``.
     """
-    pids = _device_pids(events)
     totals: Dict[str, float] = defaultdict(float)
-    for ev in events:
-        if ev.get("ph") != "X" or ev.get("pid") not in pids:
-            continue
+    for ev in _leaf_events(events):
         dur = ev.get("dur", 0) * 1e-6  # trace durations are microseconds
-        if dur <= 0:
-            continue
         hay = ev.get("name", "") + " " + str(ev.get("args", {}))
         m = STAGE_RE.search(hay)
         totals[m.group(1) if m else "other"] += dur
@@ -82,17 +131,11 @@ def stage_breakdown(events: List[dict]) -> Dict[str, float]:
 
 
 def op_table(events: List[dict], top: int = 20) -> List[Tuple[str, float, int]]:
-    """Top device ops by total time: (name, seconds, count)."""
-    pids = _device_pids(events)
+    """Top leaf device ops by total time: (name, seconds, count)."""
     agg: Dict[str, List[float]] = defaultdict(lambda: [0.0, 0])
-    for ev in events:
-        if ev.get("ph") != "X" or ev.get("pid") not in pids:
-            continue
-        dur = ev.get("dur", 0) * 1e-6
-        if dur <= 0:
-            continue
+    for ev in _leaf_events(events):
         a = agg[ev.get("name", "?")]
-        a[0] += dur
+        a[0] += ev.get("dur", 0) * 1e-6
         a[1] += 1
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]
     return [(name, v[0], int(v[1])) for name, v in rows]
