@@ -422,3 +422,37 @@ def test_fuzz_point_sharded_parity(sharded_fns, seed):
         np.asarray(r_t1.ground_mask),
         err_msg="point-sharded != single-device adapted",
     )
+
+
+def test_fuzz_sequence_fn_matches_frame_loop():
+    """The scan-dispatched sequence program (make_sequence_fn — the bench
+    driver and the server's throughput mode) is yet another compiled
+    embedding of the frame step: on a chain of EDGY clouds its per-frame
+    FrameResults and final state must equal the frame-loop program
+    bitwise, boundary-exact probes included."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu.pipeline import make_frame_fn, make_sequence_fn
+
+    p = Params()
+    clouds = [synth_cloud(s, exact_edges=True) for s in range(3)]
+    stack = np.zeros((len(clouds), CAP, 4), np.float32)
+    npts = np.zeros((len(clouds),), np.int32)
+    for i, c in enumerate(clouds):
+        stack[i, : len(c)] = c
+        npts[i] = len(c)
+
+    seq = jax.jit(make_sequence_fn(p))
+    st_seq, seq_res = seq(init_state(p), jnp.asarray(stack), jnp.asarray(npts))
+
+    frame = jax.jit(make_frame_fn(p))
+    st = init_state(p)
+    for i in range(len(clouds)):
+        st, res = frame(st, jnp.asarray(stack[i]), jnp.int32(npts[i]))
+        np.testing.assert_array_equal(
+            np.asarray(seq_res.ground_mask[i]), np.asarray(res.ground_mask),
+            err_msg=f"edgy chain frame {i}",
+        )
+    for leaf_s, leaf_f in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st)):
+        np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_f))
