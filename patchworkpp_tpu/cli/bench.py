@@ -98,6 +98,15 @@ def main() -> None:
              "'unfused' (the sorted-layout XLA fallback)",
     )
     ap.add_argument(
+        "--chunks", type=int, default=1, metavar="K",
+        help="process each frame as K contiguous row chunks on this one "
+             "chip (parallel/chunked.py: the point-sharded per-shard "
+             "program over a vmapped chunk axis). Dense-scan lever: past "
+             "~262k rows the global sort leaves its flat cost region, and "
+             "chunking keeps each chunk's sort inside it. Default 1: the "
+             "plain frame program.",
+    )
+    ap.add_argument(
         "--streams", type=int, default=1, metavar="S",
         help="measure S independent adaptive streams multiplexed on this "
              "one chip (the serve/multi_stream.py serving mode) and report "
@@ -151,6 +160,14 @@ def main() -> None:
         npts[i] = len(pts)
     if args.streams < 1:
         raise SystemExit(f"--streams must be >= 1, got {args.streams}")
+    if args.chunks < 1:
+        raise SystemExit(f"--chunks must be >= 1, got {args.chunks}")
+    if args.chunks > 1 and (args.streams > 1 or args.dispatch == "frame"):
+        raise SystemExit("--chunks supports the single-stream epoch driver only")
+    if args.chunks > 1 and capacity % args.chunks:
+        raise SystemExit(
+            f"capacity {capacity} not divisible by --chunks {args.chunks}"
+        )
     if args.streams > 1 or args.dispatch == "frame":
         if args.profile:
             print(
@@ -171,7 +188,15 @@ def main() -> None:
 
     params = Params()
     fused = {"auto": None, "unfused": False}.get(args.fused, args.fused)
-    seq = make_sequence_fn(params, fused=fused)
+    if args.chunks > 1:
+        from patchworkpp_tpu.parallel.chunked import make_chunked_sequence_fn
+
+        seq = make_chunked_sequence_fn(
+            params, args.chunks,
+            fused="tiled" if fused is None else fused,
+        )
+    else:
+        seq = make_sequence_fn(params, fused=fused)
 
     # Every dispatch gets a distinct sub-um sensor-height nudge (one scalar
     # op): on the cyclic 6-scan workload the adaptive state can reach an
@@ -266,10 +291,11 @@ def main() -> None:
     scans_per_s = statistics.median(group_rates)
     dense = f"_x{args.densify}" if args.densify > 1 else ""
     path = f"_{args.fused}" if args.fused != "auto" else ""
+    chunks = f"_c{args.chunks}" if args.chunks > 1 else ""
     print(
         json.dumps(
             {
-                "metric": f"kitti6{dense}{path}_seq_scans_per_s_per_chip",
+                "metric": f"kitti6{dense}{path}{chunks}_seq_scans_per_s_per_chip",
                 # MEDIAN over the independently timed groups — the
                 # driver-reproducible number README/ROOFLINE quote.
                 "value": round(scans_per_s, 2),

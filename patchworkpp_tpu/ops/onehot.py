@@ -35,6 +35,60 @@ _PREC = jax.lax.Precision.HIGHEST
 _SITE = [0]
 
 
+# ---- vmap-safe bf16 MXU dots -------------------------------------------
+#
+# The chunked single-device engine (parallel/chunked.py) vmaps the per-shard
+# frame program over a leading chunk axis. jax.vmap's default batching rule
+# for dot_general emits a BATCHED bf16xbf16->f32 contraction, which XLA:CPU's
+# thunk runtime cannot execute (UNIMPLEMENTED DotThunk BF16) — and even where
+# supported, a batched contraction is NOT guaranteed the same reduction
+# order as the per-device 2D dots the mesh path runs. These custom_vmap
+# wrappers pin the batch rule: unroll the (small, static) chunk axis into
+# the exact unbatched 2D dots each mesh device would issue — bitwise the
+# per-shard program — except the lhs-only-batched lookup case, where
+# flattening chunk rows into the row axis is an exact per-row-independent
+# rewrite (each output row is still a single-addend selection chain).
+
+
+@jax.custom_batching.custom_vmap
+def mxu_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(m, k) @ (k, n) bf16 dot with f32 accumulation (MXU form)."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+@mxu_dot.def_vmap
+def _mxu_dot_vmap(axis_size, in_batched, a, b):
+    a_b, b_b = in_batched
+    if a_b and not b_b:
+        flat = mxu_dot(a.reshape(-1, a.shape[-1]), b)
+        return flat.reshape(axis_size, -1, b.shape[-1]), True
+    outs = [
+        mxu_dot(a[i] if a_b else a, b[i] if b_b else b)
+        for i in range(axis_size)
+    ]
+    return jnp.stack(outs), True
+
+
+@jax.custom_batching.custom_vmap
+def mxu_dot_c0(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(k, m) x (k, n) -> (m, n) bf16 dot contracting BOTH dim-0 axes
+    (the one-hot-transposed reduce orientation) with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@mxu_dot_c0.def_vmap
+def _mxu_dot_c0_vmap(axis_size, in_batched, a, b):
+    a_b, b_b = in_batched
+    outs = [
+        mxu_dot_c0(a[i] if a_b else a, b[i] if b_b else b)
+        for i in range(axis_size)
+    ]
+    return jnp.stack(outs), True
+
+
 def patch_onehot(patch_id: jnp.ndarray, width: int = SPAD) -> jnp.ndarray:
     """(P,) int32 -> (P, width) f32 one-hot. Stays fused into its consumer."""
     _SITE[0] += 1
@@ -105,7 +159,7 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
             iota + jnp.int32(_SITE[0])
         ) - jnp.int32(_SITE[0])
         oh = (lo_id[:, None] == iota[None, :]).astype(jnp.bfloat16)
-        d = jnp.dot(oh, mat, preferred_element_type=jnp.float32)
+        d = mxu_dot(oh, mat)
         d = d.reshape(patch_id.shape[0], nb, 3 * c)
         # The hi-select iota gets the same per-site barrier as the one-hot
         # iotas: several factored lookups per frame share the same patch_id
@@ -126,7 +180,7 @@ def patch_lookup(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
             iota + jnp.int32(_SITE[0])
         ) - jnp.int32(_SITE[0])
         oh = (patch_id[:, None] == iota[None, :]).astype(jnp.bfloat16)
-        d = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
+        d = mxu_dot(oh, packed)
     return d[:, :c] + d[:, c : 2 * c] + d[:, 2 * c :]
 
 
@@ -196,10 +250,7 @@ def patch_lookup_cols(table: jnp.ndarray, patch_id: jnp.ndarray) -> jnp.ndarray:
         iota + pdt.type(_SITE[0])
     ) - pdt.type(_SITE[0])
     oh_t = (iota[:, None] == patch_id[None, :]).astype(jnp.bfloat16)  # (S, P)
-    d = jax.lax.dot_general(
-        packed, oh_t, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (3C, P)
+    d = mxu_dot_c0(packed, oh_t)  # (3C, P)
     return (d[:c] + d[c : 2 * c]) + d[2 * c :]
 
 

@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from patchworkpp_tpu.params import Params
-from patchworkpp_tpu.ops.onehot import SPAD, patch_lookup
+from patchworkpp_tpu.ops.onehot import SPAD, mxu_dot_c0, patch_lookup
 from patchworkpp_tpu.ops.pallas.fit_kernel import (
     OUT_CARRY2,
     OUT_COLS,
@@ -143,10 +143,7 @@ def _reduce_tiles_split3(v, tpc, width: int = SPAD):
         iota + tpc.dtype.type(_SITE[0])
     ) - tpc.dtype.type(_SITE[0])
     oh = (tpc[:, None] == iota[None, :]).astype(jnp.bfloat16)  # (NT, width)
-    d = jax.lax.dot_general(
-        oh, packed, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (width, 3C)
+    d = mxu_dot_c0(oh, packed)  # (width, 3C)
     return d[:, :c] + d[:, c : 2 * c] + d[:, 2 * c :]
 
 

@@ -9,6 +9,9 @@ XLA collectives over ICI/DCN:
   devices (embarrassingly parallel; per-stream adaptive state).
 - point-level sharding within a frame (the "sequence parallel" analog for
   dense 128-beam scans): per-patch statistics combined with psum.
+- single-device CHUNKING: the point-sharded per-shard program over a vmapped
+  chunk axis (dense scans on ONE chip keep each chunk's sort in its flat
+  region; parallel/chunked.py).
 """
 
 from patchworkpp_tpu.parallel.sharded import (
@@ -17,10 +20,16 @@ from patchworkpp_tpu.parallel.sharded import (
     make_point_sharded_sequence_fn,
     batch_init_state,
 )
+from patchworkpp_tpu.parallel.chunked import (
+    make_chunked_frame_fn,
+    make_chunked_sequence_fn,
+)
 
 __all__ = [
     "make_batch_frame_fn",
     "make_point_sharded_frame_fn",
     "make_point_sharded_sequence_fn",
+    "make_chunked_frame_fn",
+    "make_chunked_sequence_fn",
     "batch_init_state",
 ]
