@@ -51,13 +51,23 @@ class PatchworkPP:
         capacity: Optional[int] = None,
         device: Optional[jax.Device] = None,
         fused: Optional[bool] = None,
+        chunks: int = 1,
     ) -> None:
+        """``chunks`` > 1 processes each frame as that many contiguous row
+        chunks on one device (parallel/chunked.py) — the dense-scan lever:
+        past ~262k rows the global sort leaves its flat cost region, and
+        chunking keeps each chunk's sort inside it. Labels stay exactly the
+        single-device program's (tests/test_chunked.py). The capacity must
+        be divisible by ``chunks``."""
         self.params = params or Params()
         self.geom = CZMGeometry.create(self.params)
         self._fns = {}  # (enable_rnr, capacity) -> jitted frame fn
         self._fixed_capacity = capacity
         self._device = device
         self._fused = fused
+        if chunks < 1:
+            raise ValueError(f"chunks must be >= 1, got {chunks}")
+        self._chunks = chunks
         self.state = init_state(self.params)
         self.last_result: Optional[FrameResult] = None
 
@@ -79,6 +89,19 @@ class PatchworkPP:
 
     # ------------------------------------------------------------------ run
 
+    def _capacity(self, n: int) -> int:
+        """Padded capacity for an n-point scan: the fixed capacity when set,
+        else the 8192-quantum rounding — bumped to a ``chunks`` multiple so
+        the chunked frame can split rows evenly."""
+        cap = self._fixed_capacity or _round_capacity(n)
+        if cap % self._chunks:
+            if self._fixed_capacity:
+                raise ValueError(
+                    f"capacity {cap} not divisible by chunks={self._chunks}"
+                )
+            cap = -(-cap // self._chunks) * self._chunks
+        return cap
+
     def _get_fn(self, enable_rnr: bool, capacity: int):
         key = (enable_rnr, capacity)
         fn = self._fns.get(key)
@@ -86,7 +109,17 @@ class PatchworkPP:
             p = self.params if enable_rnr == self.params.enable_RNR else (
                 self.params.replace(enable_RNR=enable_rnr)
             )
-            fn = jax.jit(make_frame_fn(p, self.geom, fused=self._fused))
+            if self._chunks > 1:
+                from patchworkpp_tpu.parallel.chunked import (
+                    make_chunked_frame_fn,
+                )
+
+                fn = make_chunked_frame_fn(
+                    p, self._chunks, self.geom,
+                    fused="tiled" if self._fused is None else self._fused,
+                )
+            else:
+                fn = jax.jit(make_frame_fn(p, self.geom, fused=self._fused))
             self._fns[key] = fn
         return fn
 
@@ -102,7 +135,7 @@ class PatchworkPP:
         n = cloud.shape[0]
         enable_rnr = self.params.enable_RNR and cloud.shape[1] >= 4
 
-        cap = self._fixed_capacity or _round_capacity(n)
+        cap = self._capacity(n)
         if n > cap:
             raise ValueError(f"scan has {n} points > fixed capacity {cap}")
         padded = np.zeros((cap, 4), np.float32)
@@ -164,7 +197,7 @@ class PatchworkPP:
             if c.ndim != 2 or c.shape[1] not in (3, 4):
                 raise ValueError(f"cloud must be (N,3) or (N,4); got {c.shape}")
         nmax = max(c.shape[0] for c in clouds)
-        cap = self._fixed_capacity or _round_capacity(nmax)
+        cap = self._capacity(nmax)
         if nmax > cap:
             raise ValueError(f"scan has {nmax} points > fixed capacity {cap}")
 
@@ -190,7 +223,19 @@ class PatchworkPP:
             p = self.params if enable_rnr == self.params.enable_RNR else (
                 self.params.replace(enable_RNR=enable_rnr)
             )
-            fn = jax.jit(make_sequence_fn(p, self.geom, fused=self._fused))
+            if self._chunks > 1:
+                from patchworkpp_tpu.parallel.chunked import (
+                    make_chunked_sequence_fn,
+                )
+
+                fn = make_chunked_sequence_fn(
+                    p, self._chunks, self.geom,
+                    fused="tiled" if self._fused is None else self._fused,
+                )
+            else:
+                fn = jax.jit(
+                    make_sequence_fn(p, self.geom, fused=self._fused)
+                )
             self._fns[key] = fn
 
         stack = np.zeros((len(clouds), cap, 4), np.float32)

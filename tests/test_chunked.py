@@ -133,6 +133,26 @@ def test_chunked_oracle_parity(scans):
     np.testing.assert_array_equal(got, want)
 
 
+def test_facade_chunks_exact(scans, single_masks):
+    """models.PatchworkPP(chunks=K) — the user-facing dense-scan switch —
+    returns exactly the plain facade's labels, for single frames and for
+    the one-dispatch sequence path; a fixed capacity that K does not divide
+    raises instead of silently repadding."""
+    from patchworkpp_tpu.models import PatchworkPP
+
+    cloud = scans["000000"][::SUB]
+    m = PatchworkPP(chunks=4)
+    res = m.estimate_ground(cloud)
+    np.testing.assert_array_equal(res.ground_mask, single_masks["000000"])
+
+    m.reset()
+    seq = m.estimate_ground_sequence([cloud, scans["000001"][::SUB]])
+    np.testing.assert_array_equal(seq[0].ground_mask, single_masks["000000"])
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PatchworkPP(capacity=1000, chunks=3).estimate_ground(cloud[:100])
+
+
 def test_chunked_rejects_indivisible_capacity():
     p = Params()
     fn = make_chunked_frame_fn(p, 3)
