@@ -37,8 +37,11 @@ class MultiStreamSegmenter:
         self,
         params: Optional[Params] = None,
         capacity: int = 131072,
+        chunks: int = 1,
     ) -> None:
-        self._model = PatchworkPP(params, capacity=capacity)
+        """``chunks`` > 1 serves dense streams through the chunked engine
+        (parallel/chunked.py; capacity must be a ``chunks`` multiple)."""
+        self._model = PatchworkPP(params, capacity=capacity, chunks=chunks)
         self._states: Dict[Hashable, object] = {}
 
     @property

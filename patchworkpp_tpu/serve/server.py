@@ -62,6 +62,9 @@ class ServerConfig:
     # exact size batch_max is ever batched, so at most two programs compile
     # (B=1 and B=batch_max). 1 disables batching (live/low-latency mode).
     batch_max: int = 1
+    # Dense-scan serving (128-beam class): process each frame as this many
+    # row chunks on one device (parallel/chunked.py; capacity must divide).
+    chunks: int = 1
 
 
 class GroundSegmentationServer:
@@ -74,7 +77,11 @@ class GroundSegmentationServer:
     ) -> None:
         self.params = params or Params()
         self.config = config or ServerConfig()
-        self._model = PatchworkPP(self.params, capacity=self.config.capacity)
+        self._model = PatchworkPP(
+            self.params,
+            capacity=self.config.capacity,
+            chunks=self.config.chunks,
+        )
         self._subs: List[Callable[[ResultMsg], None]] = []
         self._queue: "queue.Queue[Optional[CloudMsg]]" = queue.Queue(
             maxsize=self.config.queue_depth

@@ -48,3 +48,37 @@ def test_multi_stream_checkpoint_roundtrip(scans, tmp_path):
     np.testing.assert_array_equal(
         ms2.segment("b", scans["000003"][::sub]).ground_mask, cont_b
     )
+
+
+def test_multi_stream_chunked_matches_plain(scans):
+    """chunks=K serving path returns exactly the plain engine's labels
+    (the dense-scan switch threads through MultiStreamSegmenter and
+    ServerConfig to PatchworkPP(chunks=K) -> parallel/chunked.py)."""
+    from patchworkpp_tpu.serve import MultiStreamSegmenter
+    from patchworkpp_tpu.models import PatchworkPP
+
+    sub, cap = 16, 8192
+    cloud = scans["000000"][::sub]
+    ms = MultiStreamSegmenter(capacity=cap, chunks=4)
+    ref = PatchworkPP(capacity=cap)
+    np.testing.assert_array_equal(
+        ms.segment("s", cloud).ground_mask,
+        ref.estimate_ground(cloud).ground_mask,
+    )
+
+
+def test_server_chunked_config(scans):
+    """GroundSegmentationServer(ServerConfig(chunks=K)) serves exact labels."""
+    from patchworkpp_tpu.serve import GroundSegmentationServer, ServerConfig
+    from patchworkpp_tpu.serve.server import CloudMsg
+    from patchworkpp_tpu.models import PatchworkPP
+
+    sub, cap = 16, 8192
+    cloud = scans["000001"][::sub]
+    want = PatchworkPP(capacity=cap).estimate_ground(cloud).ground_mask
+
+    srv = GroundSegmentationServer(
+        config=ServerConfig(capacity=cap, chunks=4)
+    )
+    res = srv.process(CloudMsg(points=cloud, stamp=0.0))
+    np.testing.assert_array_equal(res.result.ground_mask, want)
