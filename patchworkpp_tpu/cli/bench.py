@@ -4,9 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the unmodified C++ reference compiled -O3 runs 29.8 scans/s on one
 Xeon core over the same six scans (BASELINE.md). The measured configuration
-matches `demo_sequential` semantics: one engine (the fused Pallas fit kernel
-on TPU — make_frame_fn's auto default), adaptive state carried across frames
-in order. Each 6-scan epoch runs as one `make_sequence_fn` dispatch (a
+matches `demo_sequential` semantics: one engine (the tiled XLA engine,
+ops/tiled_fit.py — make_frame_fn's auto default on every backend since
+round 3), adaptive state carried across frames in order. Each 6-scan epoch runs as one `make_sequence_fn` dispatch (a
 lax.scan with the state as carry — bitwise-equal to the per-frame loop,
 asserted in tests/test_pipeline_golden.py::test_sequence_fn_matches_frame
 _loop), so the tunnel's per-dispatch overhead (~0.3 ms) is amortized and

@@ -9,6 +9,7 @@ device-resident operation for streaming.
 
 from __future__ import annotations
 
+import math
 import time
 from typing import NamedTuple, Optional
 
@@ -91,15 +92,19 @@ class PatchworkPP:
 
     def _capacity(self, n: int) -> int:
         """Padded capacity for an n-point scan: the fixed capacity when set,
-        else the 8192-quantum rounding — bumped to a ``chunks`` multiple so
-        the chunked frame can split rows evenly."""
+        else the 8192-quantum rounding — rounded up to an lcm(8192, chunks)
+        multiple when ``chunks`` does not divide the quantum, so every chunk
+        stays a whole number of 8192-point quanta (an off-quantum chunk
+        width would trace, but each chunk would carry extra filler-tile
+        padding through ops/tiled.py's internal TILE rounding)."""
         cap = self._fixed_capacity or _round_capacity(n)
         if cap % self._chunks:
             if self._fixed_capacity:
                 raise ValueError(
                     f"capacity {cap} not divisible by chunks={self._chunks}"
                 )
-            cap = -(-cap // self._chunks) * self._chunks
+            q = math.lcm(8192, self._chunks)
+            cap = -(-cap // q) * q
         return cap
 
     def _get_fn(self, enable_rnr: bool, capacity: int):

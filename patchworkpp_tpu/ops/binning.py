@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from patchworkpp_tpu.ops.onehot import mxu_dot_c0
 from patchworkpp_tpu.params import CZMGeometry, Params
 
 
@@ -255,8 +256,9 @@ def factored_patch_counts(
     oh_s = (
         bins.sector[:, None] == jnp.arange(_HIST_S, dtype=jnp.int32)[None, :]
     ).astype(jnp.bfloat16)
-    hist = jax.lax.dot_general(
-        oh_r, oh_s, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (16, 64)
+    # mxu_dot_c0 (not a bare dot_general): its custom_vmap rule unrolls the
+    # chunked engine's batch axis into per-chunk 2D dots — a default batched
+    # bf16xbf16->f32 contraction is the exact pattern XLA:CPU's thunk
+    # runtime rejects (UNIMPLEMENTED DotThunk BF16; see ops/onehot.py).
+    hist = mxu_dot_c0(oh_r, oh_s)  # (16, 64)
     return hist.reshape(-1)[jnp.asarray(cell)]

@@ -89,6 +89,30 @@ def _mxu_dot_c0_vmap(axis_size, in_batched, a, b):
     return jnp.stack(outs), True
 
 
+@jax.custom_batching.custom_vmap
+def f32_dot_c0(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(k, m) x (k, n) -> (m, n) f32 HIGHEST-precision dot contracting both
+    dim-0 axes — patch_reduce's reduce orientation. Wrapped so the chunked
+    engine's vmap unrolls it into the exact per-device 2D dots the mesh path
+    issues (a default batched contraction is not guaranteed the same
+    accumulation order, and patch_reduce feeds plane-fit moments on the
+    unfused per-shard path)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        precision=_PREC, preferred_element_type=jnp.float32,
+    )
+
+
+@f32_dot_c0.def_vmap
+def _f32_dot_c0_vmap(axis_size, in_batched, a, b):
+    a_b, b_b = in_batched
+    outs = [
+        f32_dot_c0(a[i] if a_b else a, b[i] if b_b else b)
+        for i in range(axis_size)
+    ]
+    return jnp.stack(outs), True
+
+
 def patch_onehot(patch_id: jnp.ndarray, width: int = SPAD) -> jnp.ndarray:
     """(P,) int32 -> (P, width) f32 one-hot. Stays fused into its consumer."""
     _SITE[0] += 1
@@ -264,4 +288,6 @@ def patch_reduce(feats: jnp.ndarray, patch_id: jnp.ndarray, width: int = SPAD) -
     Returns:
       (width, C) float32 sums.
     """
-    return jnp.dot(patch_onehot(patch_id, width).T, feats, precision=_PREC)
+    # f32_dot_c0(oh, feats) == oh.T @ feats; the custom_vmap wrapper pins the
+    # chunked engine's batching to per-chunk 2D dots (the mesh path's shape).
+    return f32_dot_c0(patch_onehot(patch_id, width), feats)

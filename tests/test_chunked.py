@@ -5,9 +5,12 @@ leading chunk axis on one device (dense-scan single-chip scaling: each
 chunk's rows stay inside the global sort's flat region — ROOFLINE.md "Dense
 scans"). Its contract is the sharded path's zero-tolerance one: labels must
 EXACTLY match the single-device program, the 8-device mesh program, and the
-oracle — there is no reduction-order slack to forgive (same fixed-order
-MeshComm reductions, with the vmap batch rule pinned to the mesh path's
-per-device 2D dots by onehot.mxu_dot/mxu_dot_c0's custom_vmap rules).
+oracle (same fixed-order MeshComm reductions). The one-hot movement dots —
+onehot.mxu_dot / mxu_dot_c0 / f32_dot_c0 (patch_reduce) and the factored
+count histogram — carry custom_vmap rules pinning their batch lowering to
+the mesh path's per-device 2D dots; everything else under the vmap is
+elementwise/per-chunk, so the equality is enforced for both the tiled and
+the unfused per-shard engines below.
 """
 
 import jax
@@ -151,6 +154,57 @@ def test_facade_chunks_exact(scans, single_masks):
 
     with pytest.raises(ValueError, match="not divisible"):
         PatchworkPP(capacity=1000, chunks=3).estimate_ground(cloud[:100])
+
+
+def test_chunked_unfused_exact_vs_single_and_mesh(scans):
+    """Chunked + UNFUSED engine: labels == single-device unfused (zero
+    tolerance, the empirical sharding invariant), and labels AND per-patch
+    fit outputs BITWISE == the 8-device mesh unfused program — the unfused
+    per-shard path reduces f32 per-point moments through onehot.patch_reduce,
+    whose custom_vmap rule must unroll to the mesh path's per-device dots
+    (ADVICE r4: this combination used to fall to vmap's default batched
+    dot_general with no test). Fit outputs vs the SINGLE-device program
+    differ by design (per-chunk partials + fixed-order sum is a different
+    f32 association than one global reduction; labels still match)."""
+    p = Params()
+    cloud = scans["000000"][::SUB]
+    args = (init_state(p), jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
+    _, want = jax.jit(make_frame_fn(p, fused=False))(*args)
+    fn = make_chunked_frame_fn(p, 8, fused=False)
+    _, res = fn(*args)
+    np.testing.assert_array_equal(
+        np.asarray(res.ground_mask)[: len(cloud)],
+        np.asarray(want.ground_mask)[: len(cloud)],
+    )
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs[:8]), ("d",))
+    fmesh = make_point_sharded_frame_fn(p, mesh, axis="d", fused=False)
+    _, rm = fmesh(*args)
+    np.testing.assert_array_equal(
+        np.asarray(rm.ground_mask), np.asarray(res.ground_mask)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rm.patch_normal), np.asarray(res.patch_normal)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rm.patch_mean), np.asarray(res.patch_mean)
+    )
+
+
+def test_facade_auto_capacity_nondividing_chunks(scans, single_masks):
+    """chunks=3 with auto capacity: capacity rounds to lcm(8192, 3) so each
+    chunk is whole 8192-point quanta (ADVICE r4: an off-quantum bump used to
+    trace with extra filler-tile padding), and labels stay exact."""
+    from patchworkpp_tpu.models import PatchworkPP
+
+    cloud = scans["000000"][::SUB]
+    m = PatchworkPP(chunks=3)
+    cap = m._capacity(len(cloud))
+    assert cap % 3 == 0 and cap % 8192 == 0
+    res = m.estimate_ground(cloud)
+    np.testing.assert_array_equal(res.ground_mask, single_masks["000000"])
 
 
 def test_chunked_rejects_indivisible_capacity():
