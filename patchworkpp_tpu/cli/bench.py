@@ -101,10 +101,10 @@ def main() -> None:
         "--chunks", type=int, default=1, metavar="K",
         help="process each frame as K contiguous row chunks on this one "
              "chip (parallel/chunked.py: the point-sharded per-shard "
-             "program over a vmapped chunk axis). Dense-scan lever: past "
-             "~262k rows the global sort leaves its flat cost region, and "
-             "chunking keeps each chunk's sort inside it. Default 1: the "
-             "plain frame program.",
+             "program over a vmapped chunk axis). Measured 2-5x SLOWER "
+             "than the plain frame at every K (ROOFLINE.md 'Single-chip "
+             "CHUNKING') — kept for parity measurement, not production. "
+             "Default 1: the plain frame program.",
     )
     ap.add_argument(
         "--streams", type=int, default=1, metavar="S",

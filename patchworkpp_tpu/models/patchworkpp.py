@@ -55,11 +55,13 @@ class PatchworkPP:
         chunks: int = 1,
     ) -> None:
         """``chunks`` > 1 processes each frame as that many contiguous row
-        chunks on one device (parallel/chunked.py) — the dense-scan lever:
-        past ~262k rows the global sort leaves its flat cost region, and
-        chunking keeps each chunk's sort inside it. Labels stay exactly the
-        single-device program's (tests/test_chunked.py). The capacity must
-        be divisible by ``chunks``."""
+        chunks on one device (parallel/chunked.py). Labels stay exactly the
+        single-device program's (tests/test_chunked.py); a fixed capacity
+        must be divisible by ``chunks``. NOTE: this is a correctness /
+        mesh-emulation feature, NOT a throughput lever — chunked execution
+        measured 2-5x SLOWER on TPU at every K (ROOFLINE.md "Single-chip
+        CHUNKING"); leave it at 1 unless you are reproducing the sharded
+        program's reduction structure on one device."""
         self.params = params or Params()
         self.geom = CZMGeometry.create(self.params)
         self._fns = {}  # (enable_rnr, capacity) -> jitted frame fn

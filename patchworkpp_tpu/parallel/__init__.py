@@ -10,8 +10,9 @@ XLA collectives over ICI/DCN:
 - point-level sharding within a frame (the "sequence parallel" analog for
   dense 128-beam scans): per-patch statistics combined with psum.
 - single-device CHUNKING: the point-sharded per-shard program over a vmapped
-  chunk axis (dense scans on ONE chip keep each chunk's sort in its flat
-  region; parallel/chunked.py).
+  chunk axis (parallel/chunked.py) — the mesh program's single-process
+  emulation and the shard x chunk composition's building block (measured
+  NOT a single-chip throughput lever; ROOFLINE.md "Single-chip CHUNKING").
 """
 
 from patchworkpp_tpu.parallel.sharded import (
@@ -23,6 +24,7 @@ from patchworkpp_tpu.parallel.sharded import (
 from patchworkpp_tpu.parallel.chunked import (
     make_chunked_frame_fn,
     make_chunked_sequence_fn,
+    make_sharded_chunked_frame_fn,
 )
 
 __all__ = [
@@ -31,5 +33,6 @@ __all__ = [
     "make_point_sharded_sequence_fn",
     "make_chunked_frame_fn",
     "make_chunked_sequence_fn",
+    "make_sharded_chunked_frame_fn",
     "batch_init_state",
 ]

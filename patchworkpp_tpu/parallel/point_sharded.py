@@ -34,15 +34,50 @@ from patchworkpp_tpu.state import AdaptiveState
 
 
 class MeshComm(FrameComm):
-    """FrameComm over a named mesh axis (used inside shard_map)."""
+    """FrameComm over one or more named axes (used inside shard_map/vmap).
+
+    ``axis`` may be a single axis name or an ordered tuple, OUTERMOST first
+    — e.g. ``("point", "chunk")`` for the shard x chunk composition where
+    global row blocks are laid out shard-major, chunk-minor (each mesh
+    shard's rows further split over a vmapped chunk axis,
+    parallel/chunked.py). All reductions treat the flattened axes as one
+    linear shard order, so the composed program is bitwise the program of a
+    single axis with the product size.
+    """
 
     is_sharded = True
 
-    def __init__(self, axis: str):
+    def __init__(self, axis):
         self.axis = axis
+        self.axes = (axis,) if isinstance(axis, str) else tuple(axis)
+
+    @property
+    def _psum_axis(self):
+        # psum/axis_index accept tuples; keep the plain string for the
+        # single-axis case (identical semantics, friendlier HLO names).
+        return self.axes[0] if len(self.axes) == 1 else self.axes
+
+    def _gather_linear(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(n_total, *x.shape) stack of every shard's x, linear shard order
+        (outer axis major). all_gather does not accept an axis tuple under
+        vmap batching, so gather nested: innermost first, then flatten."""
+        g = x
+        for ax in reversed(self.axes):
+            g = jax.lax.all_gather(g, ax, axis=0, tiled=False)
+        return g.reshape((-1,) + x.shape)
+
+    def _gather_cols(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Tiled gather of every shard's columns along axis 1 (order along
+        the column axis is interleaved per axis nesting — callers sort)."""
+        g = x
+        for ax in reversed(self.axes):
+            g = jax.lax.all_gather(g, ax, axis=1, tiled=True)
+        return g
 
     def row_offset(self, n_local: int) -> jnp.ndarray:
-        return (jax.lax.axis_index(self.axis) * n_local).astype(jnp.int32)
+        return (jax.lax.axis_index(self._psum_axis) * n_local).astype(
+            jnp.int32
+        )
 
     def reduce_patches(self, x: jnp.ndarray) -> jnp.ndarray:
         """Deterministic fixed-order cross-shard sum of per-patch statistics.
@@ -61,7 +96,7 @@ class MeshComm(FrameComm):
         same bytes an all-reduce would; the (n_shards, SPAD, C) add chain is
         a few thousand f32 adds per frame.
         """
-        g = jax.lax.all_gather(x, self.axis, axis=0, tiled=False)
+        g = self._gather_linear(x)
         out = g[0]
         for i in range(1, g.shape[0]):
             out = out + g[i]
@@ -90,14 +125,15 @@ class MeshComm(FrameComm):
         )
 
         # 2. Gather all shards' candidates and keep the global lowest num_lpr.
-        allv = jax.lax.all_gather(dense, self.axis, axis=1, tiled=True)
+        allv = self._gather_cols(dense)
         merged = jax.lax.sort(allv, dimension=1)[:, :num_lpr]
 
         # 3. Mean over min(num_lpr, global eligible count), ascending order —
         #    the same summation order as the single-device path.
         elig_f = jnp.where(elig, 1.0, 0.0)
         cnt = jax.lax.psum(
-            patch_reduce(elig_f[:, None], sp.patch_id, width)[:, 0], self.axis
+            patch_reduce(elig_f[:, None], sp.patch_id, width)[:, 0],
+            self._psum_axis,
         )
         k = jnp.minimum(cnt, float(num_lpr))
         take_k = (
@@ -122,9 +158,9 @@ class MeshComm(FrameComm):
         Occupancy masks unoccupied slots to +inf BEFORE the gather so they
         sort to the tail; the masked sum uses where() (inf * 0 = NaN)."""
         dense = jnp.where(occ > 0.5, z_at_rank, jnp.inf)
-        allv = jax.lax.all_gather(dense, self.axis, axis=1, tiled=True)
+        allv = self._gather_cols(dense)
         merged = jax.lax.sort(allv, dimension=1)[:, :num_lpr]
-        cnt = jax.lax.psum(elig_cnt, self.axis)  # integer counts: exact
+        cnt = jax.lax.psum(elig_cnt, self._psum_axis)  # integer counts: exact
         k = jnp.minimum(cnt, jnp.float32(num_lpr))
         take_k = (
             jax.lax.broadcasted_iota(jnp.float32, merged.shape, 1) < k[:, None]

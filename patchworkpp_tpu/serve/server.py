@@ -62,8 +62,10 @@ class ServerConfig:
     # exact size batch_max is ever batched, so at most two programs compile
     # (B=1 and B=batch_max). 1 disables batching (live/low-latency mode).
     batch_max: int = 1
-    # Dense-scan serving (128-beam class): process each frame as this many
-    # row chunks on one device (parallel/chunked.py; capacity must divide).
+    # Process each frame as this many row chunks on one device
+    # (parallel/chunked.py; capacity must divide). Correctness/emulation
+    # knob only — measured 2-5x slower on TPU (ROOFLINE.md "Single-chip
+    # CHUNKING"); keep at 1 in deployments.
     chunks: int = 1
 
 

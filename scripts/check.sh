@@ -15,7 +15,10 @@ for s in ppk-demo-visualize ppk-demo-sequential ppk-demo-multi-stream ppk-eval p
 done
 echo "console scripts ok"
 
-python -m pytest tests/ -x -q
+# 2-way sharded by FILE (module fixtures stay together): the serial suite
+# crossed 18 min in r4 (VERDICT weak #4); loadfile sharding halves the wall
+# with identical coverage. Fail-fast (-x) still stops the whole run.
+python -m pytest tests/ -x -q -n 2 --dist loadfile
 # Full-resolution golden parity (the exactness bar) is part of the gate.
-python -m pytest tests/ -x -q -m slow
+python -m pytest tests/ -x -q -m slow -n 2 --dist loadfile
 echo "check: all green"

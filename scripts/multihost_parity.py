@@ -348,6 +348,22 @@ def worker(args) -> int:
         )
         check(f"point-sharded seq   {n}", res.ground_mask, exp_seq[n])
 
+    # ---- 2b) shard x chunk composition over the process-spanning mesh ----
+    # Each shard's rows further split over a vmapped chunk axis
+    # (parallel/chunked.py make_sharded_chunked_frame_fn): chunking x
+    # jax.distributed cross-checked — the composed MeshComm(("point",
+    # "chunk")) collectives ride the process boundary.
+    from patchworkpp_tpu.parallel import make_sharded_chunked_frame_fn
+
+    cfn = make_sharded_chunked_frame_fn(p, mesh, 2, axis="point")
+    for n in names[: 1 if args.quick else len(names)]:
+        _, res = cfn(
+            g_state(init_state(p)),
+            to_global(pad(scans[n]), shard),
+            to_global(np.int32(len(scans[n])), repl),
+        )
+        check(f"shard-x-chunk fresh {n}", res.ground_mask, exp_fresh[n])
+
     # ---- 3) frame-parallel: one stream per device across both processes --
     fmesh = Mesh(np.asarray(devs), ("frame",))
     bfn = make_batch_frame_fn(p, fmesh, axis="frame")

@@ -93,6 +93,51 @@ def test_chunked_matches_mesh_sharded_bitwise(scans):
         assert float(stm.sensor_height) == float(stc.sensor_height)
 
 
+def test_sharded_chunked_composition(scans):
+    """Shard x chunk composition (2 mesh devices x 4 chunks each) must be
+    BITWISE the 8-device point-sharded mesh program AND the single-device
+    8-chunk program: all three run MeshComm reductions over the same 8
+    contiguous row blocks in the same linear order (shard-major,
+    chunk-minor), so labels AND per-patch fit outputs agree exactly."""
+    from patchworkpp_tpu.parallel import make_sharded_chunked_frame_fn
+
+    p = Params()
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 virtual CPU devices"
+    cloud = scans["000000"][::SUB]
+    args = (init_state(p), jnp.asarray(_pad(cloud)), jnp.int32(len(cloud)))
+
+    mesh2 = Mesh(np.array(devs[:2]), ("point",))
+    fcomp = make_sharded_chunked_frame_fn(p, mesh2, 4)
+    stc, rc = fcomp(*args)
+
+    mesh8 = Mesh(np.array(devs[:8]), ("d",))
+    fmesh = make_point_sharded_frame_fn(p, mesh8, axis="d")
+    stm, rm = fmesh(*args)
+
+    fchunk = make_chunked_frame_fn(p, 8)
+    stk, rk = fchunk(*args)
+
+    for other, tag in ((rm, "mesh8"), (rk, "chunk8")):
+        np.testing.assert_array_equal(
+            np.asarray(rc.ground_mask), np.asarray(other.ground_mask),
+            err_msg=tag,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rc.patch_normal), np.asarray(other.patch_normal),
+            err_msg=tag,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rc.patch_mean), np.asarray(other.patch_mean),
+            err_msg=tag,
+        )
+    assert (
+        float(stc.sensor_height)
+        == float(stm.sensor_height)
+        == float(stk.sensor_height)
+    )
+
+
 def test_chunked_sequence_matches_frame_loop(scans):
     """One scanned dispatch == the per-frame loop, bitwise (state chain and
     every per-frame output), and labels == the single-device sequence."""

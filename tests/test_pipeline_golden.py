@@ -503,3 +503,79 @@ def test_long_horizon_trim_parity(scans):
         np.asarray(oracle.flatness_thr, np.float32),
         rtol=1e-4, atol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_long_horizon_default_buffer_turnover(scans):
+    """The fast trim test shrinks the buffers to 25 entries; this one runs
+    the DEFAULT 1000-entry FIFO buffers (patchworkpp.cpp:354-355 trims at
+    max_*_storage=1000) through ~4 full window turnovers — 252 state-chained
+    frames at 16 ring-0 pushes/frame: fill at ~frame 63, then three more
+    complete window replacements (VERDICT r4 missing #3, the CPU half of
+    the long-horizon soak; the multi-thousand-frame throughput soak runs on
+    chip, scripts/soak.py).
+
+    Bars differ from the fast test's EXACT bookkeeping: at default params a
+    borderline patch (elevation within f32-vs-f64 slack of the adaptive
+    threshold — the documented deviation class, ops/binning.py) flips one
+    buffer PUSH — and the workload is the same 6 scans cycled, so the SAME
+    borderline patch re-flips every cycle (measured ~0.2 counts/frame on
+    ring 3). Pre-saturation counts are therefore allowed a small linear
+    drift (<= 20 over the <= 70 frames to saturation); once a ring
+    saturates, both engines pin at exactly 1000 (the FIFO cap is the
+    invariant that matters at this horizon). Sensor height / thresholds get mm-scale tolerances (a
+    single divergent entry among 1000 moves a buffer mean by ~3e-4); label
+    drift must stay bounded and non-accumulating."""
+    p = Params()  # default max_elevation/flatness_storage = 1000
+    model = PatchworkPP(p, capacity=CAPACITY)
+    oracle = NumpyPatchworkpp(p)
+    total_mism = 0
+    total_pts = 0
+    saturated_at = None
+    frame = 0
+    for epoch in range(42):
+        for name in SCAN_NAMES:
+            frame += 1
+            cloud = scans[name][::SUB]
+            res = model.estimate_ground(cloud)
+            ref = oracle.estimate_ground(cloud)
+            total_mism += int((res.ground_mask != ref).sum())
+            total_pts += len(ref)
+            assert abs(model.sensor_height - oracle.sensor_height) < 2e-3, (
+                f"frame {frame}: sensor_height diverged "
+                f"({model.sensor_height} vs {oracle.sensor_height})"
+            )
+            got_cnt = np.asarray(model.state.elev_cnt)
+            want_cnt = np.asarray(
+                [len(b) for b in oracle.update_elevation], np.int32
+            )
+            assert (np.abs(got_cnt - want_cnt) <= 20).all(), (
+                f"frame {frame}: buffer-count drift {got_cnt} vs {want_cnt}"
+            )
+            cap = p.max_elevation_storage
+            both_full = (got_cnt >= cap) & (want_cnt >= cap)
+            np.testing.assert_array_equal(
+                got_cnt[both_full], want_cnt[both_full],
+                err_msg=f"frame {frame}: saturated ring off the FIFO cap",
+            )
+            if saturated_at is None and int(got_cnt[0]) >= cap:
+                saturated_at = frame
+    assert saturated_at is not None and saturated_at <= 70, (
+        f"ring-0 buffer never saturated (at {saturated_at}) — the default "
+        "trim path was not exercised"
+    )
+    # >= 3 full window turnovers past saturation (16 pushes/frame).
+    assert (frame - saturated_at) * 16 >= 3000
+    assert total_mism <= 5e-4 * total_pts, (
+        f"{total_mism}/{total_pts} mismatches — drift is accumulating"
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.state.elevation_thr),
+        np.asarray(oracle.elevation_thr, np.float32),
+        rtol=5e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.state.flatness_thr),
+        np.asarray(oracle.flatness_thr, np.float32),
+        rtol=5e-3, atol=5e-3,
+    )
