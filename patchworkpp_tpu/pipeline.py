@@ -570,26 +570,49 @@ def make_frame_fn(
         # wall 1650 -> 1642 scans/s on chip (round 4) — the wide lookup's
         # marginal columns are cheaper than a second movement op, the same
         # lesson as the gated factored lookup (ops/onehot.py).
-        lk = patch_lookup_cols(label_tab, pid_o)  # (17, P)
         x_o, y_o, z_o = xyz_cols
 
-        def _plane_dist(c0):
-            return (
-                (x_o * lk[c0] + y_o * lk[c0 + 1]) + z_o * lk[c0 + 2]
-            ) + lk[c0 + 3]
+        def _replay(pid_b, xb, yb, zb):
+            lk = patch_lookup_cols(label_tab, pid_b)  # (17, B)
 
-        dist_o = _plane_dist(0)
-        in_proc = lk[4] > 1.5
-        peeled = jnp.zeros(npoints, bool)
-        for it in range(len(vpf_tables)):
-            dist_v = _plane_dist(5 + 4 * it)
-            peeled = peeled | (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
-        ground = (
-            in_proc
-            & ~peeled
-            & (dist_o < jnp.float32(p.th_dist))
-            & (lk[4] > 2.5)
-        )
+            def _plane_dist(c0):
+                return (
+                    (xb * lk[c0] + yb * lk[c0 + 1]) + zb * lk[c0 + 2]
+                ) + lk[c0 + 3]
+
+            dist_o = _plane_dist(0)
+            in_proc = lk[4] > 1.5
+            peeled = jnp.zeros(pid_b.shape[0], bool)
+            for it in range(len(vpf_tables)):
+                dist_v = _plane_dist(5 + 4 * it)
+                peeled = peeled | (jnp.abs(dist_v) < jnp.float32(p.th_dist_v))
+            return (
+                in_proc
+                & ~peeled
+                & (dist_o < jnp.float32(p.th_dist))
+                & (lk[4] > 2.5)
+            )
+
+        # ROW-BLOCKED replay for dense scans: past ~131k rows XLA stops
+        # fusing the (3C, P) lookup dot into its replay consumers and the
+        # stage goes HBM-bound on the materialized intermediate — measured
+        # on chip at 524k rows: stage_gle_tail 1.136 ms/frame vs 0.106 at
+        # 131k (10.7x for 4x rows; the three big fusions sum to ~1.0 ms ~=
+        # the 107 MB (51, P) round trip at HBM bandwidth). Each row's label
+        # depends only on its own lookups, so computing the tail in <=131k
+        # row blocks is bitwise identical and restores the 131k fusion
+        # shape per block. No-op (single block) at the default capacity.
+        blk = 131072
+        if npoints > blk:
+            ground = jnp.concatenate([
+                _replay(
+                    pid_o[s : s + blk], x_o[s : s + blk],
+                    y_o[s : s + blk], z_o[s : s + blk],
+                )
+                for s in range(0, npoints, blk)
+            ])
+        else:
+            ground = _replay(pid_o, x_o, y_o, z_o)
 
         result = FrameResult(
             ground_mask=ground,
