@@ -50,6 +50,11 @@ def main() -> int:
     ap.add_argument("--skip-fused", action="store_true",
                     help="skip the fused-auto mode (e.g. to gate the XLA "
                          "paths without waiting for the Mosaic compile)")
+    ap.add_argument("--chunks", type=int, default=0, metavar="K",
+                    help="also gate the chunked engine (parallel/chunked.py,"
+                         " the mesh-emulation path) at K chunks — the only "
+                         "way its vmapped collectives run on REAL TPU "
+                         "reduction orders rather than the CPU suite's")
     args = ap.parse_args()
 
     import jax
@@ -67,14 +72,18 @@ def main() -> int:
     print(f"platform: {jax.devices()[0].platform}", flush=True)
 
     modes = (
-        ([] if args.skip_fused else [("fused-auto", None)])
-        + ([("unfused", False)] if args.unfused else [])
-        + ([("tiled", "tiled")] if args.tiled else [])
-        + ([("grid", "grid")] if args.grid else [])
+        ([] if args.skip_fused else [("fused-auto", None, 1)])
+        + ([("unfused", False, 1)] if args.unfused else [])
+        + ([("tiled", "tiled", 1)] if args.tiled else [])
+        + ([("grid", "grid", 1)] if args.grid else [])
+        + (
+            [(f"chunked-{args.chunks}", None, args.chunks)]
+            if args.chunks else []
+        )
     )
     failures = 0
-    for label, fused in modes:
-        model = PatchworkPP(capacity=CAPACITY, fused=fused)
+    for label, fused, chunks in modes:
+        model = PatchworkPP(capacity=CAPACITY, fused=fused, chunks=chunks)
         t0 = time.perf_counter()
         for variant in ("fresh", "seq"):
             if variant == "fresh":

@@ -506,6 +506,31 @@ def test_long_horizon_trim_parity(scans):
 
 
 @pytest.mark.slow
+def test_blocked_label_tail_capacity_invariance(scans):
+    """The row-blocked label replay (pipeline._finalize `_replay`; r5
+    dense-scan fix) must be BITWISE capacity-invariant: the same full-res
+    scan padded to 262144 rows (two replay blocks) and to 131072 (single
+    block — the unchanged r4 program) yields identical labels and the
+    golden-exact ground count."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu.pipeline import make_frame_fn
+
+    p = Params()
+    fn = jax.jit(make_frame_fn(p))
+    scan = scans["000000"]
+    outs = {}
+    for cap in (131072, 262144):
+        pads = np.zeros((cap, 4), np.float32)
+        pads[: len(scan)] = scan
+        _, r = fn(init_state(p), jnp.asarray(pads), jnp.int32(len(scan)))
+        outs[cap] = np.asarray(r.ground_mask)[: len(scan)]
+    np.testing.assert_array_equal(outs[131072], outs[262144])
+    assert int(outs[262144].sum()) == 72665  # golden count, scan 000000
+
+
+@pytest.mark.slow
 def test_long_horizon_default_buffer_turnover(scans):
     """The fast trim test shrinks the buffers to 25 entries; this one runs
     the DEFAULT 1000-entry FIFO buffers (patchworkpp.cpp:354-355 trims at
