@@ -95,10 +95,11 @@ class PatchworkPP:
     def _capacity(self, n: int) -> int:
         """Padded capacity for an n-point scan: the fixed capacity when set,
         else the 8192-quantum rounding — rounded up to an lcm(8192, chunks)
-        multiple when ``chunks`` does not divide the quantum, so every chunk
-        stays a whole number of 8192-point quanta (an off-quantum chunk
-        width would trace, but each chunk would carry extra filler-tile
-        padding through ops/tiled.py's internal TILE rounding)."""
+        multiple when ``chunks`` does not divide the quantum. That keeps the
+        capacity on-quantum AND chunk-divisible with the smallest bump (the
+        chunk width itself lands on a whole 8192 quantum for odd ``chunks``;
+        for K like 6 it is a 128-multiple, which ops/tiled.py's TILE
+        rounding absorbs without filler-tile waste)."""
         cap = self._fixed_capacity or _round_capacity(n)
         if cap % self._chunks:
             if self._fixed_capacity:

@@ -114,16 +114,16 @@ def make_sharded_chunked_frame_fn(
     ``points`` (P, 4) row-sharded over ``axis``; P divisible by
     ``mesh.shape[axis] * num_chunks``.
     """
-    import numpy as np
     from jax.sharding import PartitionSpec as P
 
     from patchworkpp_tpu.parallel.point_sharded import build as _ps_build
-    from patchworkpp_tpu.pipeline import FrameResult as FR
     from patchworkpp_tpu.state import AdaptiveState
 
     geom = geom or CZMGeometry.create(params)
     if num_chunks == 1:
-        return _ps_build(params, mesh, axis=axis, fused=fused)
+        # geom passed through so a caller-supplied geometry is honored on
+        # this fallback too (r5 review: it used to be silently rebuilt).
+        return _ps_build(params, mesh, axis=axis, fused=fused, geom=geom)
     frame = make_frame_fn(
         params, geom, comm=MeshComm((axis, _AXIS)), fused=fused
     )
@@ -150,7 +150,7 @@ def make_sharded_chunked_frame_fn(
         return state_out, result
 
     state_spec = jax.tree.map(lambda _: P(), AdaptiveState(*[0] * 7))
-    result_spec = FR(
+    result_spec = FrameResult(
         ground_mask=P(axis),
         num_ground=P(),
         patch_mean=P(),

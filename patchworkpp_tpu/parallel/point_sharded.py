@@ -67,8 +67,10 @@ class MeshComm(FrameComm):
         return g.reshape((-1,) + x.shape)
 
     def _gather_cols(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Tiled gather of every shard's columns along axis 1 (order along
-        the column axis is interleaved per axis nesting — callers sort)."""
+        """Tiled gather of every shard's columns along axis 1. The nested
+        innermost-first gathers produce linear shard-major block order —
+        the same order a flat product-size mesh produces — though callers
+        here sort afterwards, so they do not depend on it."""
         g = x
         for ax in reversed(self.axes):
             g = jax.lax.all_gather(g, ax, axis=1, tiled=True)
@@ -199,6 +201,7 @@ def build(
     axis: str = "point",
     donate_state: bool = False,
     fused: bool | str | None = "tiled",
+    geom: CZMGeometry | None = None,
 ):
     """Jitted point-sharded frame step over ``mesh[axis]``.
 
@@ -209,9 +212,10 @@ def build(
     ``fused`` selects the per-shard fit engine: "tiled" (default — the fused
     kernel's layout/pass program composed in XLA so the LPR merge and moment
     reductions interleave as collectives, ops/tiled_fit.py) or False (the
-    sorted-layout unfused path).
+    sorted-layout unfused path). ``geom`` defaults to the params-derived
+    CZM geometry.
     """
-    geom = CZMGeometry.create(params)
+    geom = geom or CZMGeometry.create(params)
     donate = (0,) if donate_state else ()
     if _single_device(mesh):
         # Plain jit of the frame with the SAME engine selection: same

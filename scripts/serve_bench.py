@@ -67,7 +67,7 @@ def _percentiles(lat):
     }
 
 
-def closed_loop(server_mod, scans, frames):
+def closed_loop(scans, frames):
     """Phase A: one in flight at a time; service latency, wait/infer split."""
     from patchworkpp_tpu.serve import CloudMsg, GroundSegmentationServer
     from patchworkpp_tpu.serve.server import ServerConfig
@@ -88,7 +88,10 @@ def closed_loop(server_mod, scans, frames):
             s[:, 2] += 1e-4 * (i + 1)  # distinct input per message
             done.clear()
             srv.publish(CloudMsg(points=s, stamp=time.perf_counter()))
-            done.wait(timeout=600)
+            if not done.wait(timeout=600):
+                raise SystemExit(
+                    f"closed_loop: no callback for message {i} within 600 s"
+                )
             if i == 1:  # snapshot after the compile-bearing messages
                 base = (
                     srv.timer.totals.get("wait", 0.0),
@@ -101,6 +104,11 @@ def closed_loop(server_mod, scans, frames):
         infer_s = srv.timer.totals.get("infer", 0.0) - b_infer
         n = max(srv.timer.frames - b_n, 1)
     warm = lats[2:]  # first messages carry compile
+    if not warm:
+        raise SystemExit(
+            "closed_loop needs --frames >= 3 (first two messages carry "
+            "the compile and are excluded)"
+        )
     out = {
         "mode": "closed_loop_batch1",
         "frames": len(warm),
@@ -114,7 +122,7 @@ def closed_loop(server_mod, scans, frames):
     return out, rate
 
 
-def overload(server_mod, scans, frames, rate_hz, batch_max):
+def overload(scans, frames, rate_hz, batch_max):
     """Phase B: open-loop feeder at rate_hz; e2e latency + drop rate."""
     from patchworkpp_tpu.serve import CloudMsg, GroundSegmentationServer
     from patchworkpp_tpu.serve.server import ServerConfig
@@ -127,12 +135,9 @@ def overload(server_mod, scans, frames, rate_hz, batch_max):
         )
     )
     lats = []
-    got = threading.Event()
 
     def cb(res):
         lats.append(time.perf_counter() - res.msg.stamp)
-        if len(lats) + srv.frames_dropped >= frames:
-            got.set()
 
     srv.on_result(cb)
     # Compile BOTH dispatch programs before the stream starts (a fresh
@@ -193,13 +198,11 @@ def main() -> int:
 
     scans = _scans()
     results = []
-    a, rate = closed_loop(None, scans, args.frames)
+    a, rate = closed_loop(scans, args.frames)
     results.append(a)
     print(json.dumps(a), flush=True)
     for bm in (1, 6):
-        r = overload(
-            None, scans, args.frames, rate * args.overload, bm
-        )
+        r = overload(scans, args.frames, rate * args.overload, bm)
         results.append(r)
         print(json.dumps(r), flush=True)
     print(
