@@ -66,6 +66,13 @@ from patchworkpp_tpu.ops.eigen3 import eigh3x3_descending
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
 
+# Row-block size of the original-order label replay (the r5 dense-scan
+# fix — see _finalize._replay). 131072 is the largest size at which XLA
+# still fuses the (3C, P) lookup dot into its replay consumers on TPU;
+# module-level so tests can shrink it to exercise the multi-block and
+# uneven-last-block paths on small clouds.
+_REPLAY_BLOCK = 131072
+
 
 class FrameResult(NamedTuple):
     """Per-frame outputs (original point order)."""
@@ -602,7 +609,7 @@ def make_frame_fn(
         # depends only on its own lookups, so computing the tail in <=131k
         # row blocks is bitwise identical and restores the 131k fusion
         # shape per block. No-op (single block) at the default capacity.
-        blk = 131072
+        blk = _REPLAY_BLOCK
         if npoints > blk:
             ground = jnp.concatenate([
                 _replay(

@@ -505,6 +505,39 @@ def test_long_horizon_trim_parity(scans):
     )
 
 
+def test_blocked_label_tail_uneven_blocks(scans, monkeypatch):
+    """Fast multi-block coverage of the row-blocked label replay: shrink
+    the block size so an 8192-capacity cloud splits into 3 blocks with an
+    UNEVEN last block (3000+3000+2192 — the on-chip dense capacities all
+    divide 131072 evenly, so the remainder path had no coverage), for
+    both engines, asserting bitwise equality with the single-block
+    program and the golden oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from patchworkpp_tpu import pipeline as plmod
+
+    p = Params()
+    cloud = scans["000000"][::16]
+    cap = 8192
+    pads = np.zeros((cap, 4), np.float32)
+    pads[: len(cloud)] = cloud
+    args = (jnp.asarray(pads), jnp.int32(len(cloud)))
+
+    want = {}
+    for fused in ("tiled", False):
+        fn = jax.jit(plmod.make_frame_fn(p, fused=fused))
+        _, r = fn(init_state(p), *args)
+        want[fused] = np.asarray(r.ground_mask)[: len(cloud)]
+
+    monkeypatch.setattr(plmod, "_REPLAY_BLOCK", 3000)
+    for fused in ("tiled", False):
+        fn = jax.jit(plmod.make_frame_fn(p, fused=fused))
+        _, r = fn(init_state(p), *args)
+        got = np.asarray(r.ground_mask)[: len(cloud)]
+        np.testing.assert_array_equal(got, want[fused], err_msg=str(fused))
+
+
 @pytest.mark.slow
 def test_blocked_label_tail_capacity_invariance(scans):
     """The row-blocked label replay (pipeline._finalize `_replay`; r5
