@@ -37,6 +37,71 @@ def _round_capacity(n: int, quantum: int = 8192) -> int:
     return max(quantum, -(-n // quantum) * quantum)
 
 
+def _pack_result(res: FrameResult) -> jnp.ndarray:
+    """Device-side packing of everything SegmentationResult needs into ONE
+    uint8 buffer: bit-packed ground mask (8 labels/byte) + bitcast
+    patch_mean/patch_normal + patch_processed + num_ground.
+
+    Why: the result readback is the serving path's host-boundary cost —
+    fetching the bool mask and three patch arrays is ~149 KB across four
+    transfers per frame (each paying a round trip; on a tunneled dev pod
+    at ~2.5 MB/s D2H that is ~60 ms/frame, the closed-loop p50's dominant
+    term — SERVE_r05.jsonl). One fused buffer is ~30 KB and ONE transfer.
+    Purely a transport encoding: labels are bit-identical after
+    np.unpackbits (little bit order matches the 1,2,4,... weights).
+    svals are deliberately excluded (SegmentationResult does not carry
+    them; `last_result` keeps the full device-side FrameResult).
+    """
+    flat = res.ground_mask.reshape(-1)
+    pad = (-flat.shape[0]) % 8
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, bool)])
+    bits = flat.reshape(-1, 8).astype(jnp.uint8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    packed = jnp.sum(
+        bits * weights[None, :], axis=1, dtype=jnp.uint32
+    ).astype(jnp.uint8)
+
+    def _u8(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+    return jnp.concatenate([
+        packed,
+        _u8(jnp.atleast_1d(res.num_ground).astype(jnp.int32)),
+        _u8(res.patch_mean.astype(jnp.float32)),
+        _u8(res.patch_normal.astype(jnp.float32)),
+        res.patch_processed.reshape(-1).astype(jnp.uint8),
+    ])
+
+
+def _unpack_result(buf: np.ndarray, res: FrameResult):
+    """Host-side inverse of :func:`_pack_result` (shapes read off the
+    device FrameResult — static at trace time). Returns
+    (mask_flat_bool, num_ground_int_array, patch_mean, patch_normal,
+    patch_processed_bool) with the FrameResult's leading batch dims."""
+    nmask = int(np.prod(res.ground_mask.shape))
+    m8 = (nmask + 7) // 8
+    off = 0
+    mask = np.unpackbits(buf[:m8], bitorder="little")[:nmask].astype(bool)
+    mask = mask.reshape(res.ground_mask.shape)
+    off += m8
+    ng_n = int(np.prod(res.num_ground.shape)) if res.num_ground.shape else 1
+    num_ground = buf[off : off + 4 * ng_n].copy().view(np.int32)
+    num_ground = num_ground.reshape(res.num_ground.shape)
+    off += 4 * ng_n
+    out = []
+    for f in (res.patch_mean, res.patch_normal):
+        k = int(np.prod(f.shape)) * 4
+        out.append(buf[off : off + k].copy().view(np.float32).reshape(f.shape))
+        off += k
+    k = int(np.prod(res.patch_processed.shape))
+    proc = buf[off : off + k].astype(bool).reshape(res.patch_processed.shape)
+    return mask, num_ground, out[0], out[1], proc
+
+
+_PACK = jax.jit(_pack_result)  # jit caches one executable per shape set
+
+
 class PatchworkPP:
     """Stateful convenience wrapper (one LiDAR stream).
 
@@ -155,27 +220,30 @@ class PatchworkPP:
             x = jax.device_put(x, self._device)
         t0 = time.perf_counter()
         new_state, res = fn(self.state, x, jnp.int32(n))
-        res.ground_mask.block_until_ready()
+        # ONE device->host transfer for everything the result needs (the
+        # packed buffer; see _pack_result) — also the frame's sync point
+        # (block_until_ready is not a reliable sync on relayed devices).
+        buf = np.asarray(_PACK(res))
         dt = time.perf_counter() - t0
 
         self.state = new_state
         self.last_result = res
+        mask_full, num_ground, means, normals, proc = _unpack_result(buf, res)
         if self.params.verbose:
             print(
-                f"patchworkpp_tpu: {n} pts -> {int(res.num_ground)} ground "
+                f"patchworkpp_tpu: {n} pts -> {int(num_ground)} ground "
                 f"in {dt * 1e3:.2f} ms (sensor_height={self.sensor_height:.4f})"
             )
 
-        mask = np.asarray(res.ground_mask)[:n]
+        mask = mask_full[:n]
         gi = np.flatnonzero(mask).astype(np.int32)
         ngi = np.flatnonzero(~mask).astype(np.int32)
-        proc = np.asarray(res.patch_processed)
         return SegmentationResult(
             ground_mask=mask,
             ground_indices=gi,
             nonground_indices=ngi,
-            centers=np.asarray(res.patch_mean)[proc],
-            normals=np.asarray(res.patch_normal)[proc],
+            centers=means[proc],
+            normals=normals[proc],
             time_taken_s=dt,
         )
 
@@ -256,16 +324,15 @@ class PatchworkPP:
             x = jax.device_put(x, self._device)
         t0 = time.perf_counter()
         new_state, res = fn(self.state, x, jnp.asarray(npts))
-        res.ground_mask.block_until_ready()
+        # ONE packed device->host transfer for the whole batch (also the
+        # sync point) — see _pack_result.
+        buf = np.asarray(_PACK(res))
         dt = time.perf_counter() - t0
         self.state = new_state
         self.last_result = jax.tree.map(lambda a: a[-1], res)
 
         out = []
-        masks = np.asarray(res.ground_mask)
-        means = np.asarray(res.patch_mean)
-        normals = np.asarray(res.patch_normal)
-        procs = np.asarray(res.patch_processed)
+        masks, _, means, normals, procs = _unpack_result(buf, res)
         for i, c in enumerate(clouds):
             mask = masks[i, : c.shape[0]]
             gi = np.flatnonzero(mask).astype(np.int32)

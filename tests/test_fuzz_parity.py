@@ -424,6 +424,30 @@ def test_fuzz_point_sharded_parity(sharded_fns, seed):
     )
 
 
+def test_fuzz_sharded_chunked_composition_parity(sharded_fns):
+    """The shard x chunk COMPOSED program (r5: MeshComm over ("point",
+    "chunk") axis tuples — shard_map outside, vmap inside) is a fifth
+    compiled embedding of the binning + fit math. One edge-probe cloud
+    suffices (one extra compile): its labels must equal the single-device
+    tiled program bit-for-bit, boundary-exact probes included."""
+    import jax
+    from jax.sharding import Mesh
+
+    from patchworkpp_tpu.parallel import make_sharded_chunked_frame_fn
+
+    p, _, fn = sharded_fns
+    mesh = Mesh(np.array(jax.devices()[:4]), ("point",))
+    cfn = make_sharded_chunked_frame_fn(p, mesh, 2)
+    args = _pad_args(synth_cloud(0, exact_edges=True))
+    _, r_c = cfn(init_state(p), *args)
+    _, r_t = fn(init_state(p), *args)
+    np.testing.assert_array_equal(
+        np.asarray(r_c.ground_mask),
+        np.asarray(r_t.ground_mask),
+        err_msg="shard-x-chunk composed != single-device on edge probes",
+    )
+
+
 def test_fuzz_sequence_fn_matches_frame_loop():
     """The scan-dispatched sequence program (make_sequence_fn — the bench
     driver and the server's throughput mode) is yet another compiled
