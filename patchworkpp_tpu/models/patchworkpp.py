@@ -136,6 +136,7 @@ class PatchworkPP:
         if chunks < 1:
             raise ValueError(f"chunks must be >= 1, got {chunks}")
         self._chunks = chunks
+        self._pads = {}  # (upload_bucket, capacity) -> jitted zero-extend
         self.state = init_state(self.params)
         self.last_result: Optional[FrameResult] = None
 
@@ -211,13 +212,34 @@ class PatchworkPP:
         cap = self._capacity(n)
         if n > cap:
             raise ValueError(f"scan has {n} points > fixed capacity {cap}")
-        padded = np.zeros((cap, 4), np.float32)
-        padded[:n, : cloud.shape[1]] = cloud
 
         fn = self._get_fn(enable_rnr, cap)
-        x = jnp.asarray(padded)
-        if self._device is not None:
-            x = jax.device_put(x, self._device)
+        # Upload only the 8192-quantum bucket holding the real rows and
+        # zero-extend to capacity ON DEVICE: padding rows are zeros either
+        # way (the frame masks by npts), so this is bitwise-identical input
+        # while cutting host->device bytes whenever the scan sits below
+        # capacity (~6% on a full KITTI scan; 2x+ for sparse feeds on a
+        # head-roomed server). One tiny concat program compiles per
+        # (bucket, capacity) pair — at most capacity/8192 variants.
+        n_q = min(cap, _round_capacity(max(n, 1)))
+        if self._device is None and n_q < cap:
+            padded = np.zeros((n_q, 4), np.float32)
+            padded[:n, : cloud.shape[1]] = cloud
+            pad_fn = self._pads.get((n_q, cap))
+            if pad_fn is None:
+                pad_fn = jax.jit(
+                    lambda a, _cap=cap: jnp.concatenate(
+                        [a, jnp.zeros((_cap - a.shape[0], 4), jnp.float32)]
+                    )
+                )
+                self._pads[(n_q, cap)] = pad_fn
+            x = pad_fn(jnp.asarray(padded))
+        else:
+            padded = np.zeros((cap, 4), np.float32)
+            padded[:n, : cloud.shape[1]] = cloud
+            x = jnp.asarray(padded)
+            if self._device is not None:
+                x = jax.device_put(x, self._device)
         t0 = time.perf_counter()
         new_state, res = fn(self.state, x, jnp.int32(n))
         # ONE device->host transfer for everything the result needs (the
@@ -314,14 +336,36 @@ class PatchworkPP:
                 )
             self._fns[key] = fn
 
-        stack = np.zeros((len(clouds), cap, 4), np.float32)
-        npts = np.zeros((len(clouds),), np.int32)
+        npts = np.asarray([c.shape[0] for c in clouds], np.int32)
+        # Same bucketed-upload trick as estimate_ground: ship only the
+        # quantum bucket holding the batch's longest scan, zero-extend to
+        # capacity on device (bitwise-identical; padding is zeros).
+        n_q = min(cap, _round_capacity(max(int(npts.max()), 1)))
+        rows = n_q if (self._device is None and n_q < cap) else cap
+        stack = np.zeros((len(clouds), rows, 4), np.float32)
         for i, c in enumerate(clouds):
             stack[i, : c.shape[0], : c.shape[1]] = c
-            npts[i] = c.shape[0]
-        x = jnp.asarray(stack)
-        if self._device is not None:
-            x = jax.device_put(x, self._device)
+        if rows < cap:
+            pad_fn = self._pads.get((len(clouds), rows, cap))
+            if pad_fn is None:
+                pad_fn = jax.jit(
+                    lambda a, _cap=cap: jnp.concatenate(
+                        [
+                            a,
+                            jnp.zeros(
+                                (a.shape[0], _cap - a.shape[1], 4),
+                                jnp.float32,
+                            ),
+                        ],
+                        axis=1,
+                    )
+                )
+                self._pads[(len(clouds), rows, cap)] = pad_fn
+            x = pad_fn(jnp.asarray(stack))
+        else:
+            x = jnp.asarray(stack)
+            if self._device is not None:
+                x = jax.device_put(x, self._device)
         t0 = time.perf_counter()
         new_state, res = fn(self.state, x, jnp.asarray(npts))
         # ONE packed device->host transfer for the whole batch (also the

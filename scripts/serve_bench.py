@@ -187,6 +187,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--overload", type=float, default=2.0)
+    ap.add_argument("--sub", type=int, default=1,
+                    help="subsample the scans by this stride (a sparse-"
+                         "sensor feed on the default 131072-capacity "
+                         "server; exercises the bucketed-upload path)")
     ap.add_argument("--cpu", action="store_true",
                     help="force XLA:CPU (smoke mode; the sitecustomize pins "
                          "the TPU platform, env vars alone are too late)")
@@ -197,6 +201,8 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     scans = _scans()
+    if args.sub > 1:
+        scans = [s[:: args.sub].copy() for s in scans]
     results = []
     a, rate = closed_loop(scans, args.frames)
     results.append(a)
