@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from patchworkpp_tpu.params import CZMGeometry, Params
 from patchworkpp_tpu.pipeline import FrameComm, FrameResult, make_frame_fn
