@@ -20,7 +20,11 @@ echo "console scripts ok"
 # loadfile 16:18 vs serial ~23 min; -n 4 OVERSUBSCRIBES and is slower
 # than serial. worksteal balances at test granularity (a split module
 # recomputes its fixtures in each worker — measured net faster anyway).
-python -m pytest tests/ -x -q -n 3 --dist worksteal
+# NO -x here: worksteal + --maxfail abort deadlocked at the suite tail
+# twice (both workers futex-hung in native code during end-of-run
+# stealing; same tree passed 3x without -x) — CI wants the full report
+# anyway, and the gate still fails on any failure via the exit code.
+python -m pytest tests/ -q -n 3 --dist worksteal
 # Full-resolution golden parity (the exactness bar) is part of the gate.
 python -m pytest tests/ -x -q -m slow -n 2 --dist loadfile
 echo "check: all green"

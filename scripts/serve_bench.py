@@ -1,222 +1,15 @@
 #!/usr/bin/env python
-"""On-chip streaming-server latency benchmark (VERDICT r4 missing #2).
+"""Shim: the serving-latency bench lives at
+patchworkpp_tpu/cli/serve_bench.py (console script ``ppk-serve-bench``);
+this path keeps ``python scripts/serve_bench.py`` working from a bare
+checkout. See the module docstring there for the measurement protocol."""
 
-Drives serve.GroundSegmentationServer — the reference ROS node's transport-
-agnostic equivalent (ros/src/GroundSegmentationServer.cpp:74-95 segments
-live per message) — with a timed scan stream on the real device and ships
-the latency artifact the serving layer never had:
-
-  phase A (closed loop)   publish -> wait for callback -> next: per-message
-                          service latency distribution at batch_max=1 (the
-                          live mode), with the server's own wait/infer
-                          split.
-  phase B (overload)      open-loop feeder at `--overload` x the measured
-                          phase-A service rate: end-to-end enqueue->callback
-                          p50/p95/p99, drop rate (drop-oldest queue), for
-                          batch_max=1 and batch_max=6 (backlog batching).
-
-Every published scan carries a distinct deterministic mm-scale z offset, so
-no two (state, input) pairs ever repeat (tunnel relay result cache cannot
-elide work, and the adaptation chain is real).
-
-Measurement caveat, recorded with the numbers: on this TUNNELED pod each
-result fetch moves the 128 KB ground mask at ~2.5 MB/s D2H (~50 ms) and
-`block_until_ready` synchronizes through the same relay, so end-to-end
-latency here is transfer-dominated; the device-compute share per frame is
-the bench's ~0.6 ms. On directly-attached hardware the mask transfer is a
-trivially overlapped PCIe copy. The artifact therefore reports the split
-(queue wait vs engine step) alongside the percentiles.
-
-Usage: python scripts/serve_bench.py [--frames 120] [--overload 2.0]
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
 import os
 import sys
-import threading
-import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-DATA_DIR = os.environ.get("PPK_DATA_DIR", "/root/reference/data")
-
-
-def _scans():
-    out = []
-    for i in range(6):
-        out.append(
-            np.fromfile(
-                f"{DATA_DIR}/{i:06d}.bin", np.float32
-            ).reshape(-1, 4)
-        )
-    return out
-
-
-def _percentiles(lat):
-    lat = np.asarray(lat) * 1e3
-    return {
-        "p50_ms": round(float(np.percentile(lat, 50)), 1),
-        "p95_ms": round(float(np.percentile(lat, 95)), 1),
-        "p99_ms": round(float(np.percentile(lat, 99)), 1),
-        "mean_ms": round(float(lat.mean()), 1),
-    }
-
-
-def closed_loop(scans, frames):
-    """Phase A: one in flight at a time; service latency, wait/infer split."""
-    from patchworkpp_tpu.serve import CloudMsg, GroundSegmentationServer
-    from patchworkpp_tpu.serve.server import ServerConfig
-
-    srv = GroundSegmentationServer(config=ServerConfig(batch_max=1))
-    done = threading.Event()
-    lats = []
-
-    def cb(res):
-        lats.append(time.perf_counter() - res.msg.stamp)
-        done.set()
-
-    srv.on_result(cb)
-    with srv:
-        base = None
-        for i in range(frames):
-            s = scans[i % 6].copy()
-            s[:, 2] += 1e-4 * (i + 1)  # distinct input per message
-            done.clear()
-            srv.publish(CloudMsg(points=s, stamp=time.perf_counter()))
-            if not done.wait(timeout=600):
-                raise SystemExit(
-                    f"closed_loop: no callback for message {i} within 600 s"
-                )
-            if i == 1:  # snapshot after the compile-bearing messages
-                base = (
-                    srv.timer.totals.get("wait", 0.0),
-                    srv.timer.totals.get("infer", 0.0),
-                    srv.timer.frames,
-                )
-        report = srv.timing_report()
-        b_wait, b_infer, b_n = base or (0.0, 0.0, 0)
-        wait_s = srv.timer.totals.get("wait", 0.0) - b_wait
-        infer_s = srv.timer.totals.get("infer", 0.0) - b_infer
-        n = max(srv.timer.frames - b_n, 1)
-    warm = lats[2:]  # first messages carry compile
-    if not warm:
-        raise SystemExit(
-            "closed_loop needs --frames >= 3 (first two messages carry "
-            "the compile and are excluded)"
-        )
-    out = {
-        "mode": "closed_loop_batch1",
-        "frames": len(warm),
-        **_percentiles(warm),
-        "engine_ms_per_frame": round(infer_s / n * 1e3, 1),
-        "queue_wait_ms_per_frame": round(wait_s / n * 1e3, 1),
-        "dropped": srv.frames_dropped,
-        "timing_report": report,
-    }
-    rate = 1.0 / np.mean(warm)
-    return out, rate
-
-
-def overload(scans, frames, rate_hz, batch_max):
-    """Phase B: open-loop feeder at rate_hz; e2e latency + drop rate."""
-    from patchworkpp_tpu.serve import CloudMsg, GroundSegmentationServer
-    from patchworkpp_tpu.serve.server import ServerConfig
-
-    # queue_depth must be >= batch_max: the worker drains 1 + queue_depth
-    # messages at most, so a 4-deep queue can never assemble a 6-batch.
-    srv = GroundSegmentationServer(
-        config=ServerConfig(
-            batch_max=batch_max, queue_depth=max(4, 2 * batch_max)
-        )
-    )
-    lats = []
-
-    def cb(res):
-        lats.append(time.perf_counter() - res.msg.stamp)
-
-    srv.on_result(cb)
-    # Compile BOTH dispatch programs before the stream starts (a fresh
-    # server compiles ~20-60 s on this relay; a mid-stream compile fakes a
-    # 30+ s p99): the worker only ever dispatches B=1 and exact
-    # B=batch_max, so warm exactly those through the server's own model.
-    warm = [scans[i % 6].copy() for i in range(max(2, batch_max))]
-    for i, s in enumerate(warm):
-        s[:, 2] += 1e-4 * (1000 + i)
-    srv._model.estimate_ground(warm[0])
-    if batch_max > 1:
-        srv._model.estimate_ground_sequence(warm[:batch_max])
-    with srv:
-        base_proc = srv.frames_processed
-
-        period = 1.0 / rate_hz
-        t0 = time.perf_counter()
-        for i in range(frames):
-            target = t0 + i * period
-            now = time.perf_counter()
-            if target > now:
-                time.sleep(target - now)
-            s = scans[i % 6].copy()
-            s[:, 2] += 1e-4 * (2000 + i)
-            srv.publish(CloudMsg(points=s, stamp=time.perf_counter()))
-        # drain
-        deadline = time.perf_counter() + 120
-        while (
-            srv.frames_processed - base_proc + srv.frames_dropped < frames
-            and time.perf_counter() < deadline
-        ):
-            time.sleep(0.05)
-        processed = srv.frames_processed - base_proc
-        dropped = srv.frames_dropped
-    return {
-        "mode": f"overload_batch{batch_max}",
-        "offered_hz": round(rate_hz, 2),
-        "frames_offered": frames,
-        "frames_processed": processed,
-        "dropped": dropped,
-        "drop_rate": round(dropped / frames, 3),
-        **(_percentiles(lats) if lats else {}),
-    }
-
-
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=120)
-    ap.add_argument("--overload", type=float, default=2.0)
-    ap.add_argument("--sub", type=int, default=1,
-                    help="subsample the scans by this stride (a sparse-"
-                         "sensor feed on the default 131072-capacity "
-                         "server; exercises the bucketed-upload path)")
-    ap.add_argument("--cpu", action="store_true",
-                    help="force XLA:CPU (smoke mode; the sitecustomize pins "
-                         "the TPU platform, env vars alone are too late)")
-    args = ap.parse_args()
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
-    scans = _scans()
-    if args.sub > 1:
-        scans = [s[:: args.sub].copy() for s in scans]
-    results = []
-    a, rate = closed_loop(scans, args.frames)
-    results.append(a)
-    print(json.dumps(a), flush=True)
-    for bm in (1, 6):
-        r = overload(scans, args.frames, rate * args.overload, bm)
-        results.append(r)
-        print(json.dumps(r), flush=True)
-    print(
-        json.dumps({"metric": "serve_bench", "service_rate_hz": round(rate, 2),
-                    "results": results})
-    )
-    return 0
-
+from patchworkpp_tpu.cli.serve_bench import main  # noqa: E402
 
 if __name__ == "__main__":
     sys.exit(main())
