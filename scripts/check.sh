@@ -10,7 +10,7 @@ make -C native
 
 # Import + console-script resolution from OUTSIDE the repo (no path hacks).
 (cd /tmp && JAX_PLATFORMS=cpu python -c "import patchworkpp_tpu; print('import ok', patchworkpp_tpu.__version__)")
-for s in ppk-demo-visualize ppk-demo-sequential ppk-demo-multi-stream ppk-eval ppk-stream-bench ppk-bench; do
+for s in ppk-demo-visualize ppk-demo-sequential ppk-demo-multi-stream ppk-eval ppk-stream-bench ppk-bench ppk-soak ppk-serve-bench; do
     command -v "$s" >/dev/null || { echo "missing console script: $s"; exit 1; }
 done
 echo "console scripts ok"
