@@ -139,11 +139,13 @@ def main() -> None:
     from patchworkpp_tpu import Params, init_state
     from patchworkpp_tpu.pipeline import make_sequence_fn
 
+    from patchworkpp_tpu.io import read_bin
+
     capacity = args.capacity or CAPACITY * args.densify
     stack = np.zeros((6, capacity, 4), np.float32)
     npts = np.zeros((6,), np.int32)
     for i in range(6):
-        pts = np.fromfile(f"{DATA_DIR}/{i:06d}.bin", np.float32).reshape(-1, 4)
+        pts = read_bin(f"{DATA_DIR}/{i:06d}.bin")
         if args.densify > 1:
             # Deterministic densification: extra beams a few cm off the
             # originals (keeps the CZM occupancy profile of a denser sensor).

@@ -47,14 +47,9 @@ DATA_DIR = os.environ.get("PPK_DATA_DIR", "/root/reference/data")
 
 
 def _scans():
-    out = []
-    for i in range(6):
-        out.append(
-            np.fromfile(
-                f"{DATA_DIR}/{i:06d}.bin", np.float32
-            ).reshape(-1, 4)
-        )
-    return out
+    from patchworkpp_tpu.io import read_bin
+
+    return [read_bin(f"{DATA_DIR}/{i:06d}.bin") for i in range(6)]
 
 
 def _percentiles(lat):

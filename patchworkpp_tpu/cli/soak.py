@@ -61,14 +61,13 @@ def main() -> int:
     import jax.numpy as jnp
 
     from patchworkpp_tpu import Params, init_state
+    from patchworkpp_tpu.io import read_bin
     from patchworkpp_tpu.pipeline import make_sequence_fn
 
     stack = np.zeros((6, CAPACITY, 4), np.float32)
     npts = np.zeros((6,), np.int32)
     for i in range(6):
-        pts = np.fromfile(
-            f"{DATA_DIR}/{i:06d}.bin", np.float32
-        ).reshape(-1, 4)
+        pts = read_bin(f"{DATA_DIR}/{i:06d}.bin")
         stack[i, : len(pts)] = pts
         npts[i] = len(pts)
     stack = jnp.asarray(np.tile(stack, (REPEAT, 1, 1)))

@@ -102,6 +102,18 @@ def _unpack_result(buf: np.ndarray, res: FrameResult):
 _PACK = jax.jit(_pack_result)  # jit caches one executable per shape set
 
 
+def _zero_extend(a: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Device-side zero-extension of the row axis (axis -2) to ``cap`` —
+    the single pad program behind the bucketed uploads of both the frame
+    ((rows, 4)) and the sequence ((B, rows, 4)) dispatches; jit's own
+    shape-keyed cache replaces any hand-rolled registry."""
+    pad_shape = a.shape[:-2] + (cap - a.shape[-2], a.shape[-1])
+    return jnp.concatenate([a, jnp.zeros(pad_shape, a.dtype)], axis=-2)
+
+
+_EXTEND = jax.jit(_zero_extend, static_argnums=1)
+
+
 class PatchworkPP:
     """Stateful convenience wrapper (one LiDAR stream).
 
@@ -136,7 +148,6 @@ class PatchworkPP:
         if chunks < 1:
             raise ValueError(f"chunks must be >= 1, got {chunks}")
         self._chunks = chunks
-        self._pads = {}  # (upload_bucket, capacity) -> jitted zero-extend
         self.state = init_state(self.params)
         self.last_result: Optional[FrameResult] = None
 
@@ -225,15 +236,7 @@ class PatchworkPP:
         if self._device is None and n_q < cap:
             padded = np.zeros((n_q, 4), np.float32)
             padded[:n, : cloud.shape[1]] = cloud
-            pad_fn = self._pads.get((n_q, cap))
-            if pad_fn is None:
-                pad_fn = jax.jit(
-                    lambda a, _cap=cap: jnp.concatenate(
-                        [a, jnp.zeros((_cap - a.shape[0], 4), jnp.float32)]
-                    )
-                )
-                self._pads[(n_q, cap)] = pad_fn
-            x = pad_fn(jnp.asarray(padded))
+            x = _EXTEND(jnp.asarray(padded), cap)
         else:
             padded = np.zeros((cap, 4), np.float32)
             padded[:n, : cloud.shape[1]] = cloud
@@ -346,22 +349,7 @@ class PatchworkPP:
         for i, c in enumerate(clouds):
             stack[i, : c.shape[0], : c.shape[1]] = c
         if rows < cap:
-            pad_fn = self._pads.get((len(clouds), rows, cap))
-            if pad_fn is None:
-                pad_fn = jax.jit(
-                    lambda a, _cap=cap: jnp.concatenate(
-                        [
-                            a,
-                            jnp.zeros(
-                                (a.shape[0], _cap - a.shape[1], 4),
-                                jnp.float32,
-                            ),
-                        ],
-                        axis=1,
-                    )
-                )
-                self._pads[(len(clouds), rows, cap)] = pad_fn
-            x = pad_fn(jnp.asarray(stack))
+            x = _EXTEND(jnp.asarray(stack), cap)
         else:
             x = jnp.asarray(stack)
             if self._device is not None:
