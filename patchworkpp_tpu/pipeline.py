@@ -67,11 +67,15 @@ from patchworkpp_tpu.ops.eigen3 import eigh3x3_descending
 _F32_MAX = np.float32(np.finfo(np.float32).max)
 
 # Row-block size of the original-order label replay (the r5 dense-scan
-# fix — see _finalize._replay). 131072 is the largest size at which XLA
-# still fuses the (3C, P) lookup dot into its replay consumers on TPU;
-# module-level so tests can shrink it to exercise the multi-block and
-# uneven-last-block paths on small clouds.
-_REPLAY_BLOCK = 131072
+# fix — see _finalize._replay). Past ~131k rows XLA stops fusing the
+# (3C, P) lookup dot into its replay consumers (the x4 cliff); BELOW that
+# the block size is a measured perf knob — on-chip sweep (x1 3000-frame
+# group medians, scans/s): 131072 -> 1774.9, 65536 -> 1815.7 (+2.3%),
+# 32768 -> 1812.3, 16384 -> 1787.8; at x4 density 65536 == 131072
+# (504.2/503.9) and 32768 slightly worse. 65536 is the optimum at both
+# densities. Module-level so tests can shrink it to exercise the
+# multi-block and uneven-last-block paths on small clouds.
+_REPLAY_BLOCK = 65536
 
 
 class FrameResult(NamedTuple):
