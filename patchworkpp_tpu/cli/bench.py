@@ -10,7 +10,11 @@ round 3), adaptive state carried across frames in order. Each 6-scan epoch runs 
 lax.scan with the state as carry — bitwise-equal to the per-frame loop,
 asserted in tests/test_pipeline_golden.py::test_sequence_fn_matches_frame
 _loop), so the tunnel's per-dispatch overhead (~0.3 ms) is amortized and
-the number measures the engine, not the relay. The state chain makes every
+the number measures the engine, not the relay. (The 24-frame dispatch
+depth is part of the metric's PROTOCOL — kept for cross-round
+comparability; longer chains amortize the group-end sync further, e.g.
+the 49k-frame soak's ~3000-frame groups read ~1925 scans/s steady-state
+on the same program — SOAK_r05.json.) The state chain makes every
 frame's execution depend on the previous one, and a distinct um-scale z
 epsilon per dispatch guarantees no two dispatches ever see identical
 (state, input) pairs (on the cyclic workload the adaptive state can reach

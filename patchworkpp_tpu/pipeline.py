@@ -390,8 +390,8 @@ def make_frame_fn(
     if fused is None:
         # Auto: the TILED engine is the product path on EVERY backend — the
         # fused grid kernel's layout/pass program composed in XLA
-        # (ops/tiled_fit.py), no Pallas dependency. Measured round 3: on
-        # the v5e chip 1650 scans/s vs the Mosaic grid kernel's 1192 (XLA
+        # (ops/tiled_fit.py), no Pallas dependency. Measured: on the v5e
+        # chip 1815.7 scans/s (r5) vs the Mosaic grid kernel's 1192 (XLA
         # overlaps the per-pass HBM traffic and drops the ~110 s Mosaic
         # compile) and it is the only fused path that runs under point
         # sharding; on CPU it is ~10x the unfused sorted-layout path
