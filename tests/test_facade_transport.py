@@ -67,6 +67,39 @@ def test_bucketed_upload_equals_tight_capacity(cloud):
         np.testing.assert_array_equal(a.ground_mask, b.ground_mask)
 
 
+def test_mixed_density_stream_on_one_server(scans):
+    """Heterogeneous feed through ONE GroundSegmentationServer (fixed
+    capacity): interleaved 64-beam-class and sparse scans, each message
+    taking its own upload bucket, must reproduce per-scan single-model
+    labels exactly and keep the adaptation chain identical."""
+    from patchworkpp_tpu.serve import CloudMsg, GroundSegmentationServer
+    from patchworkpp_tpu.serve.server import ServerConfig
+
+    feed = [
+        scans["000000"][::8],    # ~15.6k -> bucket 16384
+        scans["000001"][::32],   # ~3.9k  -> bucket 8192
+        scans["000002"][::16],   # ~7.8k  -> bucket 8192
+    ]
+    got = []
+    srv = GroundSegmentationServer(config=ServerConfig(capacity=32768))
+    srv.on_result(lambda r: got.append(r.result))
+    with srv:
+        import time
+
+        for c in feed:
+            srv.publish(CloudMsg(points=c, stamp=0.0))
+        t_end = time.time() + 300
+        while len(got) < len(feed) and time.time() < t_end:
+            time.sleep(0.05)
+    assert len(got) == len(feed)
+
+    ref = PatchworkPP(capacity=32768)
+    for c, r in zip(feed, got):
+        want = ref.estimate_ground(c)
+        np.testing.assert_array_equal(r.ground_mask, want.ground_mask)
+    assert srv.sensor_height == ref.sensor_height
+
+
 def test_verbose_print_uses_packed_count(cloud, capsys):
     """params.verbose reports num_ground from the packed buffer (no extra
     device fetch); the printed count must match the mask sum."""
